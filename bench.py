@@ -1,0 +1,71 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Metric (BASELINE.json): DCGAN training images/sec/chip at 64x64, batch 64.
+``vs_baseline`` compares against the measured PyTorch-CPU reference anchor
+(see BASELINE.md "Measured anchors" — reproduced by scripts/baseline_torch.py
+on this host; the reference publishes no numbers of its own).
+
+Runs on whatever the default JAX platform is (the real TPU chip under the
+driver); full training step (G+D update) with device-resident uint8 batches,
+warmup excluded.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+# Measured on this host by scripts/baseline_torch.py (PyTorch CPU, DCGAN
+# 64px, batch 64, mean over 30 steps after 3 warmup). See BASELINE.md.
+TORCH_CPU_ANCHOR_IMAGES_PER_SEC = 10.3
+
+STEPS = 60
+WARMUP = 8
+BATCH = 64
+IMG = 64
+
+
+def main() -> None:
+    from tpugan.models import dcgan
+
+    cfg = dcgan.Config(
+        img_size=IMG, channels=1, batch_size=BATCH, synthetic_data=True
+    )
+    modules = dcgan.build(cfg)
+    state = dcgan.create_state(cfg, modules)
+    step = jax.jit(dcgan.make_step(cfg, modules), donate_argnums=0)
+
+    rng = np.random.default_rng(0)
+    n_batches = 8
+    host = rng.integers(0, 255, (n_batches, BATCH, IMG, IMG, 1), dtype=np.uint8)
+    batches = [jax.device_put(host[i]) for i in range(n_batches)]
+    labels = jax.device_put(np.zeros((BATCH,), np.int32))
+
+    for i in range(WARMUP):
+        state, out = step(state, batches[i % n_batches], labels)
+    jax.block_until_ready(out["d_loss"])
+
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        state, out = step(state, batches[i % n_batches], labels)
+    jax.block_until_ready(out["d_loss"])
+    dt = time.perf_counter() - t0
+
+    ips = STEPS * BATCH / dt
+    print(
+        json.dumps(
+            {
+                "metric": "dcgan_train_images_per_sec_64px",
+                "value": round(ips, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(ips / TORCH_CPU_ANCHOR_IMAGES_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

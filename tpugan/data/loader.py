@@ -1,0 +1,111 @@
+"""Device-prefetching batch loader.
+
+Replaces torch DataLoader(num_workers=N) (pix2pix/pix2pix.py:89-94) with a
+TPU-appropriate pipeline: host-side batch assembly on a background thread and
+an async ``jax.device_put`` queue so the accelerator never waits on input.
+Batches ship as uint8 (4x less H2D traffic than fp32); normalization happens
+on-device inside the jitted train step.
+
+Shape policy: fixed batch shape (``drop_last=True``) so the step compiles
+once. Deviation from the reference (which runs a ragged final batch,
+gan/gan.py:122-125): the last len(ds) % batch_size samples of each epoch are
+dropped; documented in SURVEY.md §7 hard-part 7.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, Optional, Sequence
+
+import jax
+import numpy as np
+
+
+class DeviceLoader:
+    """Iterates device-resident batches over one or more aligned arrays.
+
+    arrays: sequence of np arrays with equal leading dim (e.g. images,
+    labels). Each epoch yields tuples of jax arrays.
+    """
+
+    def __init__(
+        self,
+        arrays: Sequence[np.ndarray],
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        prefetch: int = 2,
+        sharding: Optional[jax.sharding.Sharding] = None,
+        host_transform: Optional[Callable] = None,
+    ):
+        self.arrays = list(arrays)
+        n = len(self.arrays[0])
+        assert all(len(a) == n for a in self.arrays)
+        self.n = n
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.sharding = sharding
+        self.host_transform = host_transform
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        if self.drop_last:
+            return self.n // self.batch_size
+        return -(-self.n // self.batch_size)
+
+    def _host_batches(self, epoch: int) -> Iterator[tuple]:
+        rng = np.random.default_rng(self.seed * 1000003 + epoch)
+        idx = rng.permutation(self.n) if self.shuffle else np.arange(self.n)
+        nb = len(self)
+        for b in range(nb):
+            sel = idx[b * self.batch_size : (b + 1) * self.batch_size]
+            batch = tuple(a[sel] for a in self.arrays)
+            if self.host_transform is not None:
+                batch = self.host_transform(batch, epoch, b)
+            yield batch
+
+    def epoch(self, epoch: Optional[int] = None) -> Iterator[tuple]:
+        """Yield device-resident batches for one epoch, with async prefetch."""
+        if epoch is None:
+            epoch = self._epoch
+            self._epoch += 1
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for batch in self._host_batches(epoch):
+                    if stop.is_set():
+                        return
+                    dev = tuple(
+                        jax.device_put(a, self.sharding) for a in batch
+                    )
+                    q.put(dev)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
+            # Drain so the producer can exit.
+            while t.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+
+    def __iter__(self):
+        return self.epoch()

@@ -1,0 +1,279 @@
+"""flax.linen layer wrappers with PyTorch-parity init and shape semantics.
+
+All spatial tensors are NHWC (TPU-native: channels land on the 128-lane
+dimension; XLA tiles convs onto the MXU without layout transposes). The
+wrappers exist to pin down three parity concerns the raw flax layers leave
+open:
+
+1. init distributions (PyTorch kaiming_uniform(a=sqrt(5)) defaults vs the
+   ``weights_init_normal`` N(0,0.02) regime — selected via ``init_mode``);
+2. integer padding semantics of torch Conv2d/ConvTranspose2d;
+3. BatchNorm/InstanceNorm conventions (torch momentum direction, the
+   reference's eccentric ``BatchNorm(C, 0.8)`` eps — see SURVEY.md §5 item 1).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tpugan.ops.init import (
+    normal_init,
+    ones_normal_init,
+    torch_bias_uniform,
+    torch_kaiming_uniform,
+)
+from tpugan.ops.image import pixel_shuffle, upsample_nearest, resize_bilinear
+
+Dtype = Any
+
+
+def _weight_init(mode: str, fan_in: int):
+    if mode == "torch":
+        return torch_kaiming_uniform(fan_in)
+    if mode == "normal02":
+        return normal_init(0.0, 0.02)
+    raise ValueError(f"unknown init_mode {mode!r}")
+
+
+def leaky_relu(x: jax.Array, negative_slope: float = 0.2) -> jax.Array:
+    return jnp.where(x >= 0, x, negative_slope * x)
+
+
+class Linear(nn.Module):
+    """torch.nn.Linear parity (weight & bias U(+-1/sqrt(fan_in)))."""
+
+    features: int
+    use_bias: bool = True
+    init_mode: str = "torch"
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        return nn.Dense(
+            self.features,
+            use_bias=self.use_bias,
+            kernel_init=_weight_init(self.init_mode, fan_in),
+            bias_init=torch_bias_uniform(fan_in),
+            dtype=self.dtype,
+        )(x)
+
+
+class Conv(nn.Module):
+    """torch.nn.Conv2d(in, out, k, stride, padding) parity on NHWC."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+    init_mode: str = "torch"
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        fan_in = x.shape[-1] * k * k
+        return nn.Conv(
+            self.features,
+            kernel_size=(k, k),
+            strides=(self.stride, self.stride),
+            padding=[(self.padding, self.padding)] * 2,
+            use_bias=self.use_bias,
+            kernel_init=_weight_init(self.init_mode, fan_in),
+            bias_init=torch_bias_uniform(fan_in),
+            dtype=self.dtype,
+        )(x)
+
+
+class ConvTranspose(nn.Module):
+    """torch.nn.ConvTranspose2d parity: out = (in-1)*s - 2p + k.
+
+    PyTorch counts ConvTranspose fan_in along the *output*-channel dim
+    (weight shape (C_in, C_out, k, k) -> fan_in = C_out*k*k).
+    Used by cluster_gan/clustergan.py:174-179, pix2pix/models.py:39,
+    dualgan/models.py, context_encoder/models.py.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+    init_mode: str = "torch"
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        k, s, p = self.kernel_size, self.stride, self.padding
+        fan_in = self.features * k * k  # torch ConvTranspose fan_in quirk
+        y = nn.ConvTranspose(
+            self.features,
+            kernel_size=(k, k),
+            strides=(s, s),
+            padding=[(k - 1 - p, k - 1 - p)] * 2,
+            transpose_kernel=True,
+            use_bias=self.use_bias,
+            kernel_init=_weight_init(self.init_mode, fan_in),
+            bias_init=torch_bias_uniform(fan_in),
+            dtype=self.dtype,
+        )(x)
+        # torch output size: (in-1)*s - 2p + k ; trim/assert if flax differs.
+        b, h_in = x.shape[0], x.shape[1]
+        want_h = (x.shape[1] - 1) * s - 2 * p + k
+        want_w = (x.shape[2] - 1) * s - 2 * p + k
+        if y.shape[1] != want_h or y.shape[2] != want_w:
+            y = y[:, :want_h, :want_w, :]
+        return y
+
+
+class BatchNorm(nn.Module):
+    """torch.nn.BatchNorm1d/2d parity.
+
+    - ``eps`` is positional in the reference and frequently 0.8 (a latent
+      quirk, e.g. gan/gan.py:45) — pass it through verbatim.
+    - torch momentum=0.1 means running <- 0.9*running + 0.1*batch; flax's
+      momentum is the retention factor, so we pass 1-momentum.
+    - train mode normalizes with biased batch variance (matches flax).
+    Deviation (documented): torch stores *unbiased* variance in running
+    stats; flax stores biased. Only affects eval-mode outputs by B/(B-1).
+    """
+
+    eps: float = 1e-5
+    momentum: float = 0.1
+    init_mode: str = "torch"  # "torch": scale=1 bias=0; "normal02": N(1,.02)/0
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        scale_init = (
+            nn.initializers.ones if self.init_mode == "torch" else ones_normal_init(0.02)
+        )
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=1.0 - self.momentum,
+            epsilon=self.eps,
+            scale_init=scale_init,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+        )(x)
+
+
+class InstanceNorm(nn.Module):
+    """torch.nn.InstanceNorm2d parity: per-sample per-channel spatial stats,
+    no running stats, affine=False by default (cyclegan/models.py:47 et al.;
+    dualgan uses affine=True)."""
+
+    affine: bool = False
+    eps: float = 1e-5
+    init_mode: str = "torch"
+
+    @nn.compact
+    def __call__(self, x):
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        var = jnp.var(x, axis=(1, 2), keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        if self.affine:
+            c = x.shape[-1]
+            scale_init = (
+                nn.initializers.ones
+                if self.init_mode == "torch"
+                else ones_normal_init(0.02)
+            )
+            scale = self.param("scale", scale_init, (c,))
+            bias = self.param("bias", nn.initializers.zeros, (c,))
+            y = y * scale + bias
+        return y
+
+
+class LayerNormSpatial(nn.Module):
+    """MUNIT's custom LayerNorm (munit/models.py:304-324): normalize over
+    (H, W, C) per sample, learnable per-channel affine."""
+
+    affine: bool = True
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+        std = jnp.std(x, axis=(1, 2, 3), keepdims=True)
+        y = (x - mean) / (std + self.eps)
+        if self.affine:
+            c = x.shape[-1]
+            gamma = self.param("gamma", nn.initializers.uniform(scale=1.0), (c,))
+            beta = self.param("beta", nn.initializers.zeros, (c,))
+            y = y * gamma + beta
+        return y
+
+
+class Embedding(nn.Module):
+    """torch.nn.Embedding parity (weights ~ N(0,1))."""
+
+    num_embeddings: int
+    features: int
+
+    @nn.compact
+    def __call__(self, idx):
+        return nn.Embed(
+            self.num_embeddings,
+            self.features,
+            embedding_init=nn.initializers.normal(stddev=1.0),
+        )(idx)
+
+
+class Dropout(nn.Module):
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        return nn.Dropout(self.rate, deterministic=not train)(x)
+
+
+class Dropout2d(nn.Module):
+    """torch.nn.Dropout2d: drops whole channels (broadcast over H, W)."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        return nn.Dropout(
+            self.rate, broadcast_dims=(1, 2), deterministic=not train
+        )(x)
+
+
+class PixelShuffle(nn.Module):
+    upscale_factor: int
+
+    def __call__(self, x):
+        return pixel_shuffle(x, self.upscale_factor)
+
+
+class Upsample(nn.Module):
+    """torch.nn.Upsample (default nearest; 'bilinear' supported)."""
+
+    scale_factor: int = 2
+    mode: str = "nearest"
+
+    def __call__(self, x):
+        if self.mode == "nearest":
+            return upsample_nearest(x, self.scale_factor)
+        if self.mode == "bilinear":
+            return resize_bilinear(
+                x, (x.shape[1] * self.scale_factor, x.shape[2] * self.scale_factor)
+            )
+        raise ValueError(self.mode)
+
+
+class PReLU(nn.Module):
+    """torch.nn.PReLU parity: single learnable slope, init 0.25."""
+
+    init_value: float = 0.25
+
+    @nn.compact
+    def __call__(self, x):
+        a = self.param("alpha", nn.initializers.constant(self.init_value), ())
+        return jnp.where(x >= 0, x, a * x)
