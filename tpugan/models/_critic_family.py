@@ -1,0 +1,209 @@
+"""Shared machinery for the n_critic Wasserstein family (wgan, wgan_gp,
+wgan_div).
+
+Reference control flow (wgan/wgan.py:117-166, wgan_gp/wgan_gp.py:144-203,
+wgan_div/wgan_div.py:124-195): the critic trains on EVERY batch with a fresh
+z; the generator trains every ``n_critic`` batches reusing the SAME z. The
+host mirrors that schedule around two jitted functions (d_step, g_step) —
+the z array stays device-resident between them.
+
+All three use template-A MLP G/critic (no sigmoid); they differ in the
+critic regularizer (weight clip / GP / W-div penalty) and optimizer
+(RMSprop for wgan, Adam for gp/div).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tpugan.data import DeviceLoader, mnist_or_synthetic
+from tpugan.io.images import save_image
+from tpugan.models._common import apply_mod, init_module
+from tpugan.train.state import TrainState, normalize_uint8
+from tpugan.nn.blocks import MLPDiscriminator, MLPGenerator
+
+
+def build_a(cfg):
+    img_shape = (cfg.img_size, cfg.img_size, cfg.channels)
+    return {
+        "generator": MLPGenerator(img_shape=img_shape),
+        "discriminator": MLPDiscriminator(sigmoid=False),
+    }
+
+
+def create_state_a(cfg, modules, tx_g, tx_d) -> TrainState:
+    rng = jax.random.PRNGKey(cfg.seed)
+    k_g, k_d, k_state = jax.random.split(rng, 3)
+    z = jnp.zeros((2, cfg.latent_dim), jnp.float32)
+    img = jnp.zeros((2, cfg.img_size, cfg.img_size, cfg.channels), jnp.float32)
+    g_params, g_bs = init_module(modules["generator"], k_g, z, train=True)
+    d_params, d_bs = init_module(modules["discriminator"], k_d, img, train=True)
+    params = {"generator": g_params, "discriminator": d_params}
+    model_state = {"generator": g_bs, "discriminator": d_bs}
+    opt_state = {"generator": tx_g.init(g_params), "discriminator": tx_d.init(d_params)}
+    return TrainState.create(params, opt_state, k_state, model_state=model_state)
+
+
+def make_d_step(cfg, modules, tx_d, d_loss_fn: Callable, post_update=None):
+    """d_loss_fn(d_apply, real, fake, rng) -> scalar critic loss, where
+    d_apply(x) closes over the current critic params."""
+    G, D = modules["generator"], modules["discriminator"]
+
+    def d_step(state: TrainState, imgs_u8, labels):
+        del labels
+        real = normalize_uint8(imgs_u8)
+        rng, k_z, k_pen = jax.random.split(state.rng, 3)
+        z = jax.random.normal(k_z, (real.shape[0], cfg.latent_dim))
+        fake, g_bs = apply_mod(
+            G, state.params["generator"], state.model_state["generator"], z,
+            train=True,
+        )
+        fake = jax.lax.stop_gradient(fake)
+
+        def loss(d_params):
+            def d_apply(x):
+                out, _ = apply_mod(
+                    D, d_params, state.model_state["discriminator"], x, train=True
+                )
+                return out
+
+            return d_loss_fn(d_apply, real, fake, k_pen)
+
+        d_loss, d_grads = jax.value_and_grad(loss)(state.params["discriminator"])
+        d_up, d_opt = tx_d.update(
+            d_grads, state.opt_state["discriminator"], state.params["discriminator"]
+        )
+        d_params = optax.apply_updates(state.params["discriminator"], d_up)
+        if post_update is not None:
+            d_params = post_update(d_params)
+        new_state = state.replace(
+            step=state.step + 1,
+            params={**state.params, "discriminator": d_params},
+            model_state={**state.model_state, "generator": g_bs},
+            opt_state={**state.opt_state, "discriminator": d_opt},
+            rng=rng,
+        )
+        return new_state, {"d_loss": d_loss, "z": z}
+
+    return d_step
+
+
+def make_g_step(cfg, modules, tx_g):
+    G, D = modules["generator"], modules["discriminator"]
+
+    def g_step(state: TrainState, z):
+        def loss(g_params):
+            gen, g_bs = apply_mod(
+                G, g_params, state.model_state["generator"], z, train=True
+            )
+            d_out, _ = apply_mod(
+                D,
+                state.params["discriminator"],
+                state.model_state["discriminator"],
+                gen,
+                train=True,
+            )
+            return -jnp.mean(d_out), (gen, g_bs)
+
+        (g_loss, (gen, g_bs)), g_grads = jax.value_and_grad(loss, has_aux=True)(
+            state.params["generator"]
+        )
+        g_up, g_opt = tx_g.update(
+            g_grads, state.opt_state["generator"], state.params["generator"]
+        )
+        g_params = optax.apply_updates(state.params["generator"], g_up)
+        new_state = state.replace(
+            params={**state.params, "generator": g_params},
+            model_state={**state.model_state, "generator": g_bs},
+            opt_state={**state.opt_state, "generator": g_opt},
+        )
+        return new_state, {"g_loss": g_loss, "gen_imgs": gen}
+
+    return g_step
+
+
+def make_loader_a(cfg, sharding=None) -> DeviceLoader:
+    ds, is_real = mnist_or_synthetic(
+        cfg.data_dir,
+        img_size=cfg.img_size,
+        channels=cfg.channels,
+        synthetic=cfg.synthetic_data,
+        seed=cfg.seed,
+    )
+    if not is_real:
+        print("[tpugan] MNIST not found on disk — using synthetic dataset")
+    return DeviceLoader(
+        [ds.images, ds.labels], cfg.batch_size, shuffle=True, seed=cfg.seed,
+        sharding=sharding,
+    )
+
+
+def run_critic_family(cfg, modules, state, d_step, g_step, sample_inside_gstep: bool):
+    """Host loop mirroring the reference batches_done accounting.
+
+    sample_inside_gstep=False: wgan style (check every batch, save latest
+    G output, batches_done += 1 per batch; wgan.py:160-166).
+    sample_inside_gstep=True: wgan_gp/div style (check only on G batches,
+    batches_done += n_critic; wgan_gp.py:196-203).
+    """
+    imgdir = os.path.join(cfg.output_dir, "images")
+    os.makedirs(imgdir, exist_ok=True)
+    loader = make_loader_a(cfg)
+    jd = jax.jit(d_step, donate_argnums=0)
+    jg = jax.jit(g_step, donate_argnums=0)
+    bpe = len(loader)
+    if cfg.max_batches >= 0:
+        bpe = min(bpe, cfg.max_batches)
+    batches_done = 0
+    last_gen = None
+
+    def save(arr, tag):
+        save_image(
+            jax.device_get(arr[:25]),
+            os.path.join(imgdir, "%d.png" % tag),
+            nrow=5,
+            normalize=True,
+        )
+
+    for epoch in range(cfg.n_epochs):
+        for i, batch in enumerate(loader.epoch(epoch)):
+            if cfg.max_batches >= 0 and i >= cfg.max_batches:
+                break
+            state, d_out = jd(state, *batch)
+            if i % cfg.n_critic == 0:
+                state, g_out = jg(state, d_out["z"])
+                last_gen = g_out["gen_imgs"]
+                if cfg.log_interval > 0 and i % cfg.log_interval == 0:
+                    print(
+                        "[Epoch %d/%d] [Batch %d/%d] [D loss: %f] [G loss: %f]"
+                        % (
+                            epoch,
+                            cfg.n_epochs,
+                            (batches_done % bpe) if not sample_inside_gstep else i,
+                            bpe,
+                            float(d_out["d_loss"]),
+                            float(g_out["g_loss"]),
+                        )
+                    )
+                if (
+                    sample_inside_gstep
+                    and cfg.sample_interval > 0
+                    and batches_done % cfg.sample_interval == 0
+                ):
+                    save(last_gen, batches_done)
+            if not sample_inside_gstep:
+                if (
+                    cfg.sample_interval > 0
+                    and batches_done % cfg.sample_interval == 0
+                    and last_gen is not None
+                ):
+                    save(last_gen, batches_done)
+                batches_done += 1
+            elif i % cfg.n_critic == 0:
+                batches_done += cfg.n_critic
+    return state

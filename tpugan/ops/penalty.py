@@ -63,10 +63,13 @@ def dragan_penalty(
     real: jax.Array,
     rng: jax.Array,
 ) -> jax.Array:
-    """DRAGAN penalty on perturbed real data (dragan/dragan.py:144-167).
+    """DRAGAN penalty on perturbed real data (dragan/dragan.py:142-167).
 
     interp = alpha * X + (1 - alpha) * (X + 0.5 * std(X) * U[0,1)) with
-    *elementwise* alpha; penalty is the standard (||grad|| - 1)^2 mean.
+    *elementwise* alpha. Parity quirk kept: the reference takes
+    ``gradients.norm(2, dim=1)`` WITHOUT flattening (dragan.py:166), i.e.
+    the L2 norm over the channel dim only, penalized at every spatial
+    position — reproduced here as a norm over the NHWC channel axis.
     """
     k_alpha, k_noise = jax.random.split(rng)
     alpha = jax.random.uniform(k_alpha, real.shape, real.dtype)
@@ -74,7 +77,7 @@ def dragan_penalty(
     perturbed = real + 0.5 * jnp.std(real) * noise
     interp = alpha * real + (1.0 - alpha) * perturbed
     grads = _grad_wrt_input(d_fn, interp)
-    norms = _per_sample_norm(grads)
+    norms = jnp.sqrt(jnp.sum(grads**2, axis=-1))  # torch dim=1 == channels
     return jnp.mean((norms - 1.0) ** 2)
 
 
