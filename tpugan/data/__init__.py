@@ -3,5 +3,7 @@ from tpugan.data.sources import (  # noqa: F401
     load_mnist,
     synthetic_image_dataset,
     mnist_or_synthetic,
+    mnistm_or_synthetic,
+    synthetic_mnistm_like,
 )
-from tpugan.data.loader import DeviceLoader  # noqa: F401
+from tpugan.data.loader import DeviceLoader, ZipLoader  # noqa: F401

@@ -109,3 +109,31 @@ class DeviceLoader:
 
     def __iter__(self):
         return self.epoch()
+
+
+class ZipLoader:
+    """Zip of independently-shuffled loaders (the two-domain pattern:
+    ``zip(dataloader1, dataloader2)`` in cogan/cogan.py:184 and
+    pixelda/pixelda.py:221). Each epoch yields the concatenation of the
+    member loaders' batch tuples; length is the shortest member (zip
+    semantics)."""
+
+    def __init__(self, *loaders: DeviceLoader):
+        self.loaders = loaders
+
+    def __len__(self) -> int:
+        return min(len(l) for l in self.loaders)
+
+    def epoch(self, epoch: Optional[int] = None) -> Iterator[tuple]:
+        its = [l.epoch(epoch) for l in self.loaders]
+        n = len(self)
+        for _ in range(n):
+            out: tuple = ()
+            for it in its:
+                out = out + next(it)
+            yield out
+        for it in its:
+            it.close()  # unwind each member's prefetch thread
+
+    def __iter__(self):
+        return self.epoch()

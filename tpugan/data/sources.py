@@ -115,6 +115,76 @@ def resize_dataset(ds: ArrayDataset, img_size: int) -> ArrayDataset:
     return ArrayDataset(np.clip(out, 0, 255).astype(np.uint8), ds.labels)
 
 
+def load_mnistm(data_dir: str, train: bool = True) -> Optional[ArrayDataset]:
+    """Load MNIST-M if present on disk.
+
+    The reference downloads keras_mnistm.pkl.gz and pairs its RGB patches with
+    MNIST labels (cogan/mnistm.py:19-146). Supported layouts here:
+    ``<data_dir>/mnistm/keras_mnistm.pkl.gz`` (raw pickle; needs MNIST labels
+    alongside) or the reference's processed ``mnist_m_train.pt`` (torch).
+    """
+    root = os.path.join(data_dir, "mnistm")
+    name = "mnist_m_train.pt" if train else "mnist_m_test.pt"
+    proc = os.path.join(root, "processed", name)
+    if os.path.exists(proc):
+        import torch
+
+        data, labels = torch.load(proc, weights_only=False)
+        imgs = np.asarray(data, dtype=np.uint8)
+        if imgs.ndim == 3:  # (N, H, W) -> can't happen for RGB; guard anyway
+            imgs = np.repeat(imgs[..., None], 3, -1)
+        return ArrayDataset(imgs, np.asarray(labels, dtype=np.int32))
+    raw = os.path.join(root, "raw", "keras_mnistm.pkl.gz")
+    if os.path.exists(raw):
+        import pickle
+
+        mnist = load_mnist(data_dir, train=train)
+        if mnist is None:
+            return None
+        with gzip.open(raw, "rb") as f:
+            pkl = pickle.load(f, encoding="bytes")
+        imgs = np.asarray(pkl[b"train" if train else b"test"], dtype=np.uint8)
+        return ArrayDataset(imgs, mnist.labels[: len(imgs)])
+    return None
+
+
+def synthetic_mnistm_like(
+    base: ArrayDataset, seed: int = 0
+) -> ArrayDataset:
+    """Procedural MNIST-M stand-in: blend grayscale glyphs over random color
+    patches with the real dataset's |background - digit| construction, so the
+    domain gap that pixelda/cogan train against actually exists."""
+    rng = np.random.default_rng(seed + 77)
+    n, h, w, _ = base.images.shape
+    digits = base.images[..., :1].astype(np.float32) / 255.0
+    # Smooth random RGB backgrounds (coarse noise upsampled by repetition).
+    coarse = rng.uniform(0, 255, size=(n, max(h // 4, 1), max(w // 4, 1), 3))
+    bg = np.repeat(np.repeat(coarse, 4, axis=1), 4, axis=2)[:, :h, :w, :]
+    out = np.abs(bg - digits * 255.0)
+    return ArrayDataset(
+        np.clip(out, 0, 255).astype(np.uint8), base.labels.copy()
+    )
+
+
+def mnistm_or_synthetic(
+    data_dir: str,
+    img_size: int = 28,
+    synthetic: bool = False,
+    synthetic_n: int = 4096,
+    seed: int = 0,
+) -> Tuple[ArrayDataset, bool]:
+    """MNIST-M from disk when available; else the procedural stand-in."""
+    if not synthetic:
+        ds = load_mnistm(data_dir)
+        if ds is not None:
+            return resize_dataset(ds, img_size), True
+    base, _ = mnist_or_synthetic(
+        data_dir, img_size=img_size, channels=1, synthetic=synthetic,
+        synthetic_n=synthetic_n, seed=seed,
+    )
+    return synthetic_mnistm_like(base, seed=seed), False
+
+
 def mnist_or_synthetic(
     data_dir: str,
     img_size: int = 28,

@@ -1,0 +1,200 @@
+"""Template-C building blocks: U-Net, ResNet generator, PatchGAN.
+
+Sources (all under /root/reference/implementations/):
+- U-Net down/up blocks + 8-down/7-up generator: pix2pix/models.py:20-101
+- ReflectionPad ResNet generator + residual block: cyclegan/models.py:22-87
+- PatchGAN discriminator (4 stride-2 blocks, ZeroPad2d((1,0,1,0)) + 4x4
+  head): pix2pix/models.py:109-133 (conditional, cat(A,B)),
+  cyclegan/models.py:95-122 (unconditional)
+
+All NHWC. InstanceNorm is affine=False in these scripts (torch default), so
+norms carry no params; ``weights_init_normal`` (conv N(0,0.02)) maps to
+init_mode="normal02" (pix2pix — biases keep torch init, models.py:6-12) or
+"normal02zero" (cyclegan zeroes conv biases too, models.py:6-14).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tpugan.nn.layers import (
+    Conv,
+    ConvTranspose,
+    Dropout,
+    InstanceNorm,
+    Upsample,
+    leaky_relu,
+)
+
+
+def reflection_pad(x: jax.Array, pad: int) -> jax.Array:
+    """nn.ReflectionPad2d(pad) on NHWC."""
+    return jnp.pad(
+        x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect"
+    )
+
+
+def zero_pad_lt(x: jax.Array) -> jax.Array:
+    """nn.ZeroPad2d((1, 0, 1, 0)) — pad left and top by one (the PatchGAN
+    head's asymmetric pad, pix2pix/models.py:126)."""
+    return jnp.pad(x, ((0, 0), (1, 0), (1, 0), (0, 0)))
+
+
+class UNetDown(nn.Module):
+    """pix2pix/models.py:20-32: Conv(4,2,1,bias=False) -> [InstanceNorm] ->
+    LeakyReLU(0.2) -> [Dropout]."""
+
+    features: int
+    normalize: bool = True
+    dropout: float = 0.0
+    init_mode: str = "normal02"
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = Conv(self.features, 4, 2, 1, use_bias=False, init_mode=self.init_mode)(x)
+        if self.normalize:
+            x = InstanceNorm()(x)
+        x = leaky_relu(x, 0.2)
+        if self.dropout:
+            x = Dropout(self.dropout)(x, train=train)
+        return x
+
+
+class UNetUp(nn.Module):
+    """pix2pix/models.py:35-52: ConvTranspose(4,2,1,bias=False) ->
+    InstanceNorm -> ReLU -> [Dropout]; concatenates the skip on channels."""
+
+    features: int
+    dropout: float = 0.0
+    init_mode: str = "normal02"
+
+    @nn.compact
+    def __call__(self, x, skip, train: bool = True):
+        x = ConvTranspose(
+            self.features, 4, 2, 1, use_bias=False, init_mode=self.init_mode
+        )(x)
+        x = InstanceNorm()(x)
+        x = nn.relu(x)
+        if self.dropout:
+            x = Dropout(self.dropout)(x, train=train)
+        return jnp.concatenate([x, skip], axis=-1)
+
+
+class GeneratorUNet(nn.Module):
+    """The pix2pix 8-down/7-up U-Net (pix2pix/models.py:55-101)."""
+
+    out_channels: int = 3
+    init_mode: str = "normal02"
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        im = self.init_mode
+        d1 = UNetDown(64, normalize=False, init_mode=im)(x, train)
+        d2 = UNetDown(128, init_mode=im)(d1, train)
+        d3 = UNetDown(256, init_mode=im)(d2, train)
+        d4 = UNetDown(512, dropout=0.5, init_mode=im)(d3, train)
+        d5 = UNetDown(512, dropout=0.5, init_mode=im)(d4, train)
+        d6 = UNetDown(512, dropout=0.5, init_mode=im)(d5, train)
+        d7 = UNetDown(512, dropout=0.5, init_mode=im)(d6, train)
+        d8 = UNetDown(512, normalize=False, dropout=0.5, init_mode=im)(d7, train)
+        u1 = UNetUp(512, dropout=0.5, init_mode=im)(d8, d7, train)
+        u2 = UNetUp(512, dropout=0.5, init_mode=im)(u1, d6, train)
+        u3 = UNetUp(512, dropout=0.5, init_mode=im)(u2, d5, train)
+        u4 = UNetUp(512, dropout=0.5, init_mode=im)(u3, d4, train)
+        u5 = UNetUp(256, init_mode=im)(u4, d3, train)
+        u6 = UNetUp(128, init_mode=im)(u5, d2, train)
+        u7 = UNetUp(64, init_mode=im)(u6, d1, train)
+        # final: Upsample -> ZeroPad2d((1,0,1,0)) -> Conv(4, p1) -> Tanh
+        y = Upsample(2)(u7)
+        y = zero_pad_lt(y)
+        y = Conv(self.out_channels, 4, 1, 1, init_mode=im)(y)
+        return jnp.tanh(y)
+
+
+class ResidualBlockIN(nn.Module):
+    """cyclegan/models.py:22-37: ReflectionPad(1)-Conv3-IN-ReLU-
+    ReflectionPad(1)-Conv3-IN with identity skip."""
+
+    features: int
+    init_mode: str = "normal02zero"
+
+    @nn.compact
+    def __call__(self, x):
+        y = reflection_pad(x, 1)
+        y = Conv(self.features, 3, 1, 0, init_mode=self.init_mode)(y)
+        y = InstanceNorm()(y)
+        y = nn.relu(y)
+        y = reflection_pad(y, 1)
+        y = Conv(self.features, 3, 1, 0, init_mode=self.init_mode)(y)
+        y = InstanceNorm()(y)
+        return x + y
+
+
+class GeneratorResNet(nn.Module):
+    """cyclegan/models.py:40-87: c7s1-64, 2x stride-2 down, N residual,
+    2x (Upsample + conv) up, c7s1-C, all InstanceNorm/ReLU, reflection pads
+    of size ``channels`` at both ends (the reference passes the channel
+    count as the pad — a quirk kept verbatim)."""
+
+    channels: int
+    num_residual_blocks: int
+    init_mode: str = "normal02zero"
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        del train
+        im = self.init_mode
+        c = self.channels
+        y = reflection_pad(x, c)
+        y = Conv(64, 7, 1, 0, init_mode=im)(y)
+        y = InstanceNorm()(y)
+        y = nn.relu(y)
+        feats = 64
+        for _ in range(2):
+            feats *= 2
+            y = Conv(feats, 3, 2, 1, init_mode=im)(y)
+            y = InstanceNorm()(y)
+            y = nn.relu(y)
+        for _ in range(self.num_residual_blocks):
+            y = ResidualBlockIN(feats, init_mode=im)(y)
+        for _ in range(2):
+            feats //= 2
+            y = Upsample(2)(y)
+            y = Conv(feats, 3, 1, 1, init_mode=im)(y)
+            y = InstanceNorm()(y)
+            y = nn.relu(y)
+        y = reflection_pad(y, c)
+        y = Conv(c, 7, 1, 0, init_mode=im)(y)
+        return jnp.tanh(y)
+
+
+class PatchGAN(nn.Module):
+    """The shared PatchGAN discriminator family.
+
+    filters/normalize-first/head-bias parameterize the per-script deltas:
+    - pix2pix/models.py:109-133 — 4 blocks, head bias=False, input cat(A,B)
+      (concatenation is the caller's job)
+    - cyclegan/models.py:95-122 — 4 blocks, head bias=True
+    - discogan/models.py:94-120 — 3 blocks (patch H/8)
+    Output patch is (H/2^n + const) with the ZeroPad2d((1,0,1,0)) + 4x4 head.
+    """
+
+    filters: Sequence[int] = (64, 128, 256, 512)
+    head_bias: bool = True
+    init_mode: str = "normal02"
+
+    @nn.compact
+    def __call__(self, img, train: bool = True):
+        del train
+        x = img
+        for i, f in enumerate(self.filters):
+            x = Conv(f, 4, 2, 1, init_mode=self.init_mode)(x)
+            if i > 0:
+                x = InstanceNorm()(x)
+            x = leaky_relu(x, 0.2)
+        x = zero_pad_lt(x)
+        return Conv(1, 4, 1, 1, use_bias=self.head_bias, init_mode=self.init_mode)(x)

@@ -34,9 +34,17 @@ Dtype = Any
 def _weight_init(mode: str, fan_in: int):
     if mode == "torch":
         return torch_kaiming_uniform(fan_in)
-    if mode == "normal02":
+    if mode in ("normal02", "normal02zero"):
         return normal_init(0.0, 0.02)
     raise ValueError(f"unknown init_mode {mode!r}")
+
+
+def _bias_init(mode: str, fan_in: int):
+    # "normal02zero" = clustergan's initialize_weights: weight ~ N(0,0.02)
+    # AND bias zeroed for Conv/ConvTranspose/Linear (clustergan.py:106-116).
+    if mode == "normal02zero":
+        return nn.initializers.zeros
+    return torch_bias_uniform(fan_in)
 
 
 def leaky_relu(x: jax.Array, negative_slope: float = 0.2) -> jax.Array:
@@ -58,7 +66,7 @@ class Linear(nn.Module):
             self.features,
             use_bias=self.use_bias,
             kernel_init=_weight_init(self.init_mode, fan_in),
-            bias_init=torch_bias_uniform(fan_in),
+            bias_init=_bias_init(self.init_mode, fan_in),
             dtype=self.dtype,
         )(x)
 
@@ -85,7 +93,7 @@ class Conv(nn.Module):
             padding=[(self.padding, self.padding)] * 2,
             use_bias=self.use_bias,
             kernel_init=_weight_init(self.init_mode, fan_in),
-            bias_init=torch_bias_uniform(fan_in),
+            bias_init=_bias_init(self.init_mode, fan_in),
             dtype=self.dtype,
         )(x)
 
@@ -119,7 +127,7 @@ class ConvTranspose(nn.Module):
             transpose_kernel=True,
             use_bias=self.use_bias,
             kernel_init=_weight_init(self.init_mode, fan_in),
-            bias_init=torch_bias_uniform(fan_in),
+            bias_init=_bias_init(self.init_mode, fan_in),
             dtype=self.dtype,
         )(x)
         # torch output size: (in-1)*s - 2p + k ; trim/assert if flax differs.
