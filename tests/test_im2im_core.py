@@ -1,0 +1,156 @@
+"""Tests for the image-to-image core: pix2pix, cyclegan, replay buffer,
+paired/unpaired data transforms."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpugan.data.im2im import (
+    joint_hflip_transform,
+    synthetic_scene_pairs,
+    unpaired_shuffle_transform,
+)
+from tpugan.models import cyclegan, pix2pix
+from tpugan.train.replay import replay_init, replay_push_and_pop
+
+
+def test_replay_buffer_fills_then_swaps():
+    buf = replay_init(4, (2, 2, 1))
+    rng = jax.random.PRNGKey(0)
+    b1 = jnp.ones((4, 2, 2, 1))
+    buf, out = replay_push_and_pop(buf, b1, rng)
+    # While filling, elements pass through unchanged (utils.py:22-26).
+    assert np.allclose(np.asarray(out), 1.0)
+    assert int(buf["count"]) == 4
+    # Once full, ~half the outputs come from the buffer (utils.py:27-32).
+    b2 = 2.0 * jnp.ones((64, 2, 2, 1))
+    buf, out = replay_push_and_pop(buf, b2, jax.random.PRNGKey(1))
+    vals = np.unique(np.asarray(out))
+    assert 2.0 in vals and len(vals) > 1  # some old (1.0-era) values returned
+    assert int(buf["count"]) == 4
+
+
+def test_joint_hflip_flips_both_domains_identically():
+    a = np.arange(2 * 4 * 4 * 1, dtype=np.uint8).reshape(2, 4, 4, 1)
+    t = joint_hflip_transform(seed=3, prob=1.0)
+    fa, fb = t((a, a.copy()), 0, 0)
+    assert np.array_equal(fa, a[:, :, ::-1])
+    assert np.array_equal(fa, fb)
+
+
+def test_unpaired_shuffle_only_permutes_b():
+    a = np.arange(8, dtype=np.uint8).reshape(8, 1, 1, 1)
+    b = a.copy()
+    t = unpaired_shuffle_transform(seed=1)
+    oa, ob = t((a, b), 0, 0)
+    assert np.array_equal(oa, a)
+    assert sorted(ob.ravel().tolist()) == list(range(8))
+
+
+def test_synthetic_scene_pairs_are_correlated():
+    a, b = synthetic_scene_pairs(8, 32, 32, seed=0)
+    assert a.shape == b.shape == (8, 32, 32, 3)
+    # Same-geometry pairs correlate much better than mismatched ones.
+    same = np.mean(
+        [np.corrcoef(a[i].ravel(), b[i].ravel())[0, 1] for i in range(8)]
+    )
+    cross = np.mean(
+        [np.corrcoef(a[i].ravel(), b[(i + 1) % 8].ravel())[0, 1] for i in range(8)]
+    )
+    assert same > cross
+
+
+def test_cyclegan_step_runs_finite():
+    cfg = cyclegan.Config(
+        batch_size=2, img_height=64, img_width=64, n_residual_blocks=1,
+        synthetic_data=True,
+    )
+    modules = cyclegan.build(cfg)
+    state = cyclegan.create_state(cfg, modules, steps_per_epoch=10)
+    step = jax.jit(cyclegan.make_step(cfg, modules, steps_per_epoch=10))
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 255, (2, 64, 64, 3), np.uint8)
+    b = rng.integers(0, 255, (2, 64, 64, 3), np.uint8)
+    for _ in range(2):
+        state, out = step(state, a, b)
+    for k in ("d_loss", "g_loss", "loss_GAN", "loss_cycle", "loss_identity"):
+        assert np.isfinite(float(out[k])), k
+    # Replay buffers accumulated the fakes.
+    assert int(state.aux["buf_A"]["count"]) == 4
+
+
+def test_cyclegan_lr_decays_after_decay_epoch():
+    from tpugan.train.optim import linear_decay_schedule
+
+    sched = linear_decay_schedule(0.1, n_epochs=10, decay_start_epoch=5,
+                                  steps_per_epoch=2)
+    assert abs(float(sched(0)) - 0.1) < 1e-7
+    # Factor stays 1.0 through epoch == decay_epoch (LambdaLR: 1 - max(0,
+    # e-decay)/(n-decay) == 1 at e == decay); first drop at decay_epoch+1.
+    assert abs(float(sched(10)) - 0.1) < 1e-7  # epoch 5
+    assert float(sched(12)) < 0.0999  # epoch 6: factor 1 - 1/5
+    assert abs(float(sched(12)) - 0.1 * (1 - 1 / 5)) < 1e-6
+    assert abs(float(sched(19)) - 0.1 * (1 - 4 / 5)) < 1e-6  # epoch 9
+
+
+def test_pix2pix_step_runs_finite_256():
+    cfg = pix2pix.Config(batch_size=1, synthetic_data=True)
+    modules = pix2pix.build(cfg)
+    state = pix2pix.create_state(cfg, modules)
+    step = jax.jit(pix2pix.make_step(cfg, modules))
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 255, (1, 256, 256, 3), np.uint8)
+    b = rng.integers(0, 255, (1, 256, 256, 3), np.uint8)
+    state, out = step(state, a, b)
+    for k in ("d_loss", "g_loss", "loss_pixel", "loss_GAN"):
+        assert np.isfinite(float(out[k])), k
+
+
+def test_pix2pix_patch_shape():
+    """PatchGAN output = (B, H/16, W/16, 1) (pix2pix.py:57)."""
+    cfg = pix2pix.Config(batch_size=1)
+    modules = pix2pix.build(cfg)
+    state = pix2pix.create_state(cfg, modules)
+    img = jnp.zeros((1, 256, 256, 3))
+    from tpugan.models._common import apply_mod
+
+    pred, _ = apply_mod(
+        modules["discriminator"], state.params["discriminator"], None, img, img
+    )
+    assert pred.shape == (1, 16, 16, 1)
+
+
+def test_unet_param_count_matches_torch():
+    """Param-count parity vs the reference modules (measured with torch on
+    this host: GeneratorUNet 54,404,099 / Discriminator 2,767,808)."""
+    cfg = pix2pix.Config()
+    modules = pix2pix.build(cfg)
+    state = pix2pix.create_state(cfg, modules)
+    n_g = sum(
+        int(np.prod(p.shape))
+        for p in jax.tree_util.tree_leaves(state.params["generator"])
+    )
+    n_d = sum(
+        int(np.prod(p.shape))
+        for p in jax.tree_util.tree_leaves(state.params["discriminator"])
+    )
+    assert n_g == 54_404_099, n_g
+    assert n_d == 2_767_808, n_d
+
+
+def test_resnet_g_and_patchgan_param_count_matches_torch():
+    """cyclegan GeneratorResNet(3ch, 9 blocks) = 11,378,179 params,
+    Discriminator = 2,764,737 (measured with torch)."""
+    cfg = cyclegan.Config()
+    modules = cyclegan.build(cfg)
+    state = cyclegan.create_state(cfg, modules)
+    n_g = sum(
+        int(np.prod(p.shape))
+        for p in jax.tree_util.tree_leaves(state.params["G_AB"])
+    )
+    n_d = sum(
+        int(np.prod(p.shape))
+        for p in jax.tree_util.tree_leaves(state.params["D_A"])
+    )
+    assert n_g == 11_378_179, n_g
+    assert n_d == 2_764_737, n_d

@@ -188,6 +188,123 @@ def unpaired_or_synthetic(
     return a, b[rng.permutation(len(b))], False
 
 
+def load_celeba_attrs(
+    root: str, height: int, width: int, attributes: List[str],
+    mode: str = "train", limit: Optional[int] = None,
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """CelebA + list_attr_celeba.txt (stargan/datasets.py:12-46): the
+    annotation file's last 2000 images form the val split; labels are the
+    selected attribute columns mapped '1' -> 1 else 0."""
+    ann = os.path.join(root, "list_attr_celeba.txt")
+    if not os.path.exists(ann):
+        return None
+    with open(ann) as f:
+        lines = [l.rstrip() for l in f][1:]
+    all_attrs = lines[0].split()
+    col = [all_attrs.index(a) for a in attributes]
+    rows = lines[1:]
+    rows = rows[:-2000] if mode == "train" else rows[-2000:]
+    if limit:
+        rows = rows[:limit]
+    from PIL import Image
+
+    imgs, labels = [], []
+    for line in rows:
+        parts = line.split()
+        fp = os.path.join(root, parts[0])
+        if not os.path.exists(fp):
+            continue
+        vals = parts[1:]
+        img = Image.open(fp).convert("RGB").resize((width, height), Image.BICUBIC)
+        imgs.append(np.asarray(img, np.uint8))
+        labels.append([1.0 if vals[c] == "1" else 0.0 for c in col])
+    if not imgs:
+        return None
+    return np.stack(imgs), np.asarray(labels, np.float32)
+
+
+def synthetic_attr_faces(
+    n: int, height: int, width: int, c_dim: int, seed: int = 0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Procedural attribute-conditioned images: each binary attribute
+    controls a visible image property (hue of a region), so the attribute
+    classifier head has real signal."""
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, 2, size=(n, c_dim)).astype(np.float32)
+    imgs = np.zeros((n, height, width, 3), np.float32)
+    yy, xx = np.mgrid[0:height, 0:width].astype(np.float32)
+    for i in range(n):
+        base = rng.uniform(40, 90)
+        img = np.full((height, width, 3), base, np.float32)
+        # Central "face" ellipse.
+        cy, cx = height / 2 + rng.normal(0, 2), width / 2 + rng.normal(0, 2)
+        mask = ((yy - cy) / (height * 0.3)) ** 2 + (
+            (xx - cx) / (width * 0.22)
+        ) ** 2 < 1.0
+        img[mask] = 180.0
+        for a in range(c_dim):
+            if labels[i, a] > 0.5:
+                band = slice(a * height // max(c_dim, 1),
+                             (a + 1) * height // max(c_dim, 1))
+                img[band, :, a % 3] += 60.0
+        img += rng.normal(0, 5, img.shape)
+        imgs[i] = img
+    return np.clip(imgs, 0, 255).astype(np.uint8), labels
+
+
+def celeba_or_synthetic(
+    data_dir: str,
+    dataset_name: str,
+    height: int,
+    width: int,
+    attributes: List[str],
+    mode: str = "train",
+    synthetic: bool = False,
+    synthetic_n: int = 512,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray, bool]:
+    if not synthetic:
+        got = load_celeba_attrs(
+            os.path.join(data_dir, dataset_name), height, width, attributes,
+            mode=mode,
+        )
+        if got is not None:
+            return got[0], got[1], True
+    imgs, labels = synthetic_attr_faces(
+        synthetic_n, height, width, len(attributes),
+        seed=seed + (0 if mode == "train" else 1),
+    )
+    return imgs, labels, False
+
+
+def celeba_images_or_synthetic(
+    data_dir: str,
+    dataset_name: str,
+    height: int,
+    width: int,
+    mode: str = "train",
+    val_tail: int = 4000,
+    synthetic: bool = False,
+    synthetic_n: int = 512,
+    seed: int = 0,
+) -> Tuple[np.ndarray, bool]:
+    """Plain CelebA-style image folder (no attributes) with the
+    context_encoder split rule: last ``val_tail`` files are the val set
+    (context_encoder/datasets.py:17-18). Falls back to the procedural
+    attr-face generator's images."""
+    if not synthetic:
+        imgs = _load_folder(os.path.join(data_dir, dataset_name), height, width)
+        if imgs is not None and len(imgs) > 0:
+            if len(imgs) > val_tail:
+                imgs = imgs[:-val_tail] if mode == "train" else imgs[-val_tail:]
+            return imgs, True
+    imgs, _ = synthetic_attr_faces(
+        synthetic_n, height, width, 5,
+        seed=seed + (0 if mode == "train" else 1),
+    )
+    return imgs, False
+
+
 def joint_hflip_transform(seed: int, prob: float = 0.5, indices=(0, 1)):
     """Loader host_transform: flip the SAME samples in both domains (the
     paired datasets' joint np-slice flip, pix2pix/datasets.py:26-28)."""

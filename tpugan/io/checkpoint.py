@@ -34,3 +34,21 @@ def load_pytree(template: T, path: str) -> T:
     with open(path, "rb") as f:
         data = f.read()
     return serialization.from_bytes(template, data)
+
+
+def save_modules(params_by_name: dict, directory: str, epoch: int) -> None:
+    """Reference-style per-module checkpoints: one file per module named
+    ``<module>_<epoch>.pth`` (pix2pix/pix2pix.py:204-207,
+    cyclegan/cyclegan.py:279-284 — same names, flax msgpack payload)."""
+    for name, params in params_by_name.items():
+        save_pytree(params, os.path.join(directory, f"{name}_{epoch}.pth"))
+
+
+def load_modules(template_by_name: dict, directory: str, epoch: int) -> dict:
+    """Resume from ``--epoch N`` files (pix2pix/pix2pix.py:69-76)."""
+    out = {}
+    for name, template in template_by_name.items():
+        out[name] = load_pytree(
+            template, os.path.join(directory, f"{name}_{epoch}.pth")
+        )
+    return out

@@ -46,18 +46,25 @@ def zero_pad_lt(x: jax.Array) -> jax.Array:
 
 class UNetDown(nn.Module):
     """pix2pix/models.py:20-32: Conv(4,2,1,bias=False) -> [InstanceNorm] ->
-    LeakyReLU(0.2) -> [Dropout]."""
+    LeakyReLU(0.2) -> [Dropout]. ``use_bias=True`` gives the discogan
+    variant (discogan/models.py:23); ``affine=True`` the dualgan variant
+    (dualgan/models.py:25-27, affine IN params keep torch init)."""
 
     features: int
     normalize: bool = True
     dropout: float = 0.0
+    use_bias: bool = False
+    affine: bool = False
     init_mode: str = "normal02"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = Conv(self.features, 4, 2, 1, use_bias=False, init_mode=self.init_mode)(x)
+        x = Conv(
+            self.features, 4, 2, 1, use_bias=self.use_bias,
+            init_mode=self.init_mode,
+        )(x)
         if self.normalize:
-            x = InstanceNorm()(x)
+            x = InstanceNorm(affine=self.affine)(x)
         x = leaky_relu(x, 0.2)
         if self.dropout:
             x = Dropout(self.dropout)(x, train=train)
@@ -70,14 +77,17 @@ class UNetUp(nn.Module):
 
     features: int
     dropout: float = 0.0
+    use_bias: bool = False
+    affine: bool = False
     init_mode: str = "normal02"
 
     @nn.compact
     def __call__(self, x, skip, train: bool = True):
         x = ConvTranspose(
-            self.features, 4, 2, 1, use_bias=False, init_mode=self.init_mode
+            self.features, 4, 2, 1, use_bias=self.use_bias,
+            init_mode=self.init_mode,
         )(x)
-        x = InstanceNorm()(x)
+        x = InstanceNorm(affine=self.affine)(x)
         x = nn.relu(x)
         if self.dropout:
             x = Dropout(self.dropout)(x, train=train)
@@ -123,7 +133,8 @@ class ResidualBlockIN(nn.Module):
     init_mode: str = "normal02zero"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = True):
+        del train
         y = reflection_pad(x, 1)
         y = Conv(self.features, 3, 1, 0, init_mode=self.init_mode)(y)
         y = InstanceNorm()(y)
@@ -185,16 +196,29 @@ class PatchGAN(nn.Module):
 
     filters: Sequence[int] = (64, 128, 256, 512)
     head_bias: bool = True
+    head_padding: int = 1
+    norm: str = "instance"  # "instance" | "batch08" (dualgan/models.py:110)
     init_mode: str = "normal02"
 
     @nn.compact
     def __call__(self, img, train: bool = True):
-        del train
         x = img
         for i, f in enumerate(self.filters):
             x = Conv(f, 4, 2, 1, init_mode=self.init_mode)(x)
             if i > 0:
-                x = InstanceNorm()(x)
+                if self.norm == "instance":
+                    x = InstanceNorm()(x)
+                elif self.norm == "batch08":
+                    from tpugan.nn.layers import BatchNorm
+
+                    x = BatchNorm(eps=0.8, init_mode=self.init_mode)(
+                        x, train=train
+                    )
+                else:
+                    raise ValueError(self.norm)
             x = leaky_relu(x, 0.2)
         x = zero_pad_lt(x)
-        return Conv(1, 4, 1, 1, use_bias=self.head_bias, init_mode=self.init_mode)(x)
+        return Conv(
+            1, 4, 1, self.head_padding, use_bias=self.head_bias,
+            init_mode=self.init_mode,
+        )(x)

@@ -208,7 +208,10 @@ class LayerNormSpatial(nn.Module):
     @nn.compact
     def __call__(self, x):
         mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
-        std = jnp.std(x, axis=(1, 2, 3), keepdims=True)
+        # torch .std(1) is UNBIASED (munit/models.py:318) — match it.
+        n = x.shape[1] * x.shape[2] * x.shape[3]
+        var = jnp.var(x, axis=(1, 2, 3), keepdims=True) * (n / max(n - 1, 1))
+        std = jnp.sqrt(var)
         y = (x - mean) / (std + self.eps)
         if self.affine:
             c = x.shape[-1]

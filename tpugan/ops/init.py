@@ -57,6 +57,17 @@ def normal_init(mean: float = 0.0, std: float = 0.02):
     return init
 
 
+def kaiming_normal_fan_out(fan_out: int):
+    """torchvision ResNet conv init: kaiming_normal_(mode='fan_out',
+    nonlinearity='relu') == N(0, sqrt(2/fan_out))."""
+
+    def init(key, shape, dtype=jnp.float32):
+        std = math.sqrt(2.0 / max(fan_out, 1))
+        return std * jax.random.normal(key, shape, dtype)
+
+    return init
+
+
 def ones_normal_init(std: float = 0.02):
     """N(1.0, std) — the ``weights_init_normal`` BatchNorm scale distribution."""
 
