@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""tpugan CycleGAN 256px throughput (the BASELINE.json 256px config).
+
+Full training step (G joint update + both D updates + replay buffers) with
+device-resident uint8 batches; one JSON line like bench.py. Run on the TPU
+chip (do not run concurrently with another TPU process).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+# scripts/baseline_torch_cyclegan.py measured anchor (PyTorch CPU, batch 1,
+# 256px) — recorded in BASELINE.md.
+TORCH_CPU_ANCHOR_IPS = 0.014
+
+STEPS = 20
+WARMUP = 3
+BATCH = 1
+IMG = 256
+
+
+def main() -> None:
+    from tpugan.models import cyclegan
+
+    cfg = cyclegan.Config(
+        img_height=IMG, img_width=IMG, batch_size=BATCH, synthetic_data=True
+    )
+    modules = cyclegan.build(cfg)
+    state = cyclegan.create_state(cfg, modules, steps_per_epoch=1000)
+    step = jax.jit(
+        cyclegan.make_step(cfg, modules, steps_per_epoch=1000),
+        donate_argnums=0,
+    )
+    rng = np.random.default_rng(0)
+    a = jax.device_put(rng.integers(0, 255, (BATCH, IMG, IMG, 3), dtype=np.uint8))
+    b = jax.device_put(rng.integers(0, 255, (BATCH, IMG, IMG, 3), dtype=np.uint8))
+
+    for _ in range(WARMUP):
+        state, out = step(state, a, b)
+    jax.block_until_ready(out["d_loss"])
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, out = step(state, a, b)
+    jax.block_until_ready(out["d_loss"])
+    dt = time.perf_counter() - t0
+    ips = STEPS * BATCH / dt
+    print(
+        json.dumps(
+            {
+                "metric": "cyclegan_train_images_per_sec_256px",
+                "value": round(ips, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(ips / TORCH_CPU_ANCHOR_IPS, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

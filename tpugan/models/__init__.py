@@ -48,6 +48,8 @@ _REGISTRY = {
     "esrgan": "tpugan.models.esrgan",
     "context_encoder": "tpugan.models.context_encoder",
     "ccgan": "tpugan.models.ccgan",
+    # The reference zoo's standalone inference CLI (esrgan/test_on_image.py).
+    "test_on_image": "tpugan.models.test_on_image",
 }
 
 

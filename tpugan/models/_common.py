@@ -9,7 +9,7 @@ reference's loop body. ``run_mnist_recipe`` is the canonical outer loop
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 
@@ -89,10 +89,30 @@ def grid_sampler(cfg, key: str = "gen_imgs", n: int = 25, nrow: int = 5):
 
 
 def run_mnist_recipe(cfg, recipe_mod, callbacks: Optional[Callbacks] = None):
-    """Standard driver: build -> init -> loader -> jitted loop."""
+    """Standard driver: build -> init -> loader -> jitted loop.
+
+    When more than one accelerator is visible, the step runs data-parallel
+    over the full ICI mesh automatically (GSPMD: batch sharded on axis
+    'data', state replicated, gradient all-reduce inserted by XLA) — the
+    global batch semantics match single-device exactly (tests/
+    test_parallel.py), so the reference CLI contract is unchanged.
+    """
     modules = recipe_mod.build(cfg)
     state = recipe_mod.create_state(cfg, modules)
-    loader = recipe_mod.make_loader(cfg)
+    sharding = None
+    if jax.device_count() > 1 and cfg.batch_size % jax.device_count() == 0:
+        from tpugan.parallel import batch_sharding, data_mesh, shard_state
+
+        mesh = data_mesh()
+        state = shard_state(state, mesh)
+        sharding = batch_sharding(mesh)
+        print(
+            "[tpugan] data-parallel over %d devices" % jax.device_count()
+        )
+    try:
+        loader = recipe_mod.make_loader(cfg, sharding=sharding)
+    except TypeError:
+        loader = recipe_mod.make_loader(cfg)
     step = recipe_mod.make_step(cfg, modules)
     cb = callbacks or Callbacks(
         log=std_log_line(cfg), sample=grid_sampler(cfg)

@@ -388,15 +388,19 @@ def make_sampler(cfg: Config, modules):
 
     @jax.jit
     def translate(params, g_bs, a_u8, rng):
+        # ONE batched generator application over all rows*n samples
+        # (bicyclegan.py:107-120 loops per image — same values).
         x = normalize_uint8(a_u8)
-        rows = []
-        for i in range(x.shape[0]):
-            xi = jnp.repeat(x[i : i + 1], n, axis=0)
-            z = jax.random.normal(jax.random.fold_in(rng, i), (n, n))
-            fb, _ = apply_mod(G, params, g_bs, xi, z, train=False)
-            row = jnp.concatenate([x[i]] + [fb[j] for j in range(n)], axis=1)
-            rows.append(row)
-        return jnp.concatenate(rows, axis=0)
+        m = x.shape[0]
+        rep = jnp.repeat(x, n, axis=0)
+        z = jax.random.normal(rng, (m * n, n))
+        fb, _ = apply_mod(G, params, g_bs, rep, z, train=False)
+        fb = fb.reshape(m, n, *fb.shape[1:])
+        rows = jnp.concatenate(
+            [x[:, None], *(fb[:, j : j + 1] for j in range(n))], axis=1
+        )
+        rows = jnp.concatenate([rows[:, k] for k in range(n + 1)], axis=2)
+        return jnp.concatenate([rows[k] for k in range(m)], axis=0)
 
     def sample(state, out, batches_done):
         batch = next(iter(val_loader.epoch(int(batches_done))))

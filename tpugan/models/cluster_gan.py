@@ -43,7 +43,6 @@ from tpugan.losses import bce, cross_entropy_logits, mse
 from tpugan.models._common import apply_mod, init_module
 from tpugan.nn.layers import BatchNorm, Conv, ConvTranspose, Linear, leaky_relu
 from tpugan.ops.penalty import wgan_gp_penalty
-from tpugan.train.loop import Callbacks, run_training
 from tpugan.train.optim import adam_torch
 from tpugan.train.state import TrainState
 from tpugan.utils.config import BaseConfig, config_from_args, flag
@@ -61,13 +60,15 @@ GP_LAMBDA = 10.0  # clustergan.py:72
 class Config(BaseConfig):
     # Flag parity with clustergan.py:30-36 (short flags omitted; the dests
     # and defaults match).
-    n_epochs: int = flag(200, "Number of epochs")
-    batch_size: int = flag(64, "Batch size")
-    img_size: int = flag(28, "Size of image dimension")
-    latent_dim: int = flag(30, "Dimension of latent space")
-    lr: float = flag(0.0001, "Learning rate")
-    n_critic: int = flag(5, "Number of training steps for discriminator per iter")
-    wass_flag: bool = flag(False, "Flag for Wasserstein metric")
+    n_epochs: int = flag(200, "Number of epochs", short="-n")
+    batch_size: int = flag(64, "Batch size", short="-b")
+    img_size: int = flag(28, "Size of image dimension", short="-i")
+    latent_dim: int = flag(30, "Dimension of latent space", short="-d")
+    lr: float = flag(0.0001, "Learning rate", short="-l")
+    n_critic: int = flag(
+        5, "Number of training steps for discriminator per iter", short="-c"
+    )
+    wass_flag: bool = flag(False, "Flag for Wasserstein metric", short="-w")
 
 
 class GeneratorCNN(nn.Module):

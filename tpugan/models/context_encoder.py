@@ -28,7 +28,7 @@ from tpugan.data import DeviceLoader
 from tpugan.data.im2im import celeba_images_or_synthetic
 from tpugan.io.images import save_image
 from tpugan.losses import l1, mse
-from tpugan.models._common import apply_mod, init_module, std_log_line
+from tpugan.models._common import apply_mod, init_module
 from tpugan.nn.layers import (
     BatchNorm,
     Conv,

@@ -25,7 +25,6 @@ import math
 import os
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from tpugan.io.images import save_image

@@ -22,7 +22,6 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from tpugan.data import DeviceLoader
@@ -272,20 +271,22 @@ def make_sampler(cfg: Config, modules):
 
     @jax.jit
     def translate(params, a_u8, rng):
+        # ONE batched Enc/Dec application over all n*s translations
+        # (munit.py:143-157 loops per image — same values, smaller graph).
         x = normalize_uint8(a_u8)
-        rows = []
-        for i in range(x.shape[0]):
-            xi = jnp.repeat(x[i : i + 1], s, axis=0)
-            s_code = jax.random.uniform(
-                jax.random.fold_in(rng, i), (s, s), minval=-1.0, maxval=1.0
-            )
-            (c1, _), _ = apply_mod(Enc1, params["Enc1"], None, xi)
-            x12, _ = apply_mod(Dec2, params["Dec2"], None, c1, s_code)
-            row = jnp.concatenate(
-                [x[i]] + [x12[j] for j in range(s)], axis=1
-            )
-            rows.append(row)
-        return jnp.concatenate(rows, axis=0)
+        n = x.shape[0]
+        rep = jnp.repeat(x, s, axis=0)
+        s_code = jax.random.uniform(
+            rng, (n * s, s), minval=-1.0, maxval=1.0
+        )
+        (c1, _), _ = apply_mod(Enc1, params["Enc1"], None, rep)
+        x12, _ = apply_mod(Dec2, params["Dec2"], None, c1, s_code)
+        x12 = x12.reshape(n, s, *x12.shape[1:])
+        rows = jnp.concatenate(
+            [x[:, None], *(x12[:, j : j + 1] for j in range(s))], axis=1
+        )
+        rows = jnp.concatenate([rows[:, k] for k in range(s + 1)], axis=2)
+        return jnp.concatenate([rows[k] for k in range(n)], axis=0)
 
     def sample(state, out, batches_done):
         batch = next(iter(val_loader.epoch(int(batches_done))))

@@ -24,7 +24,6 @@ import dataclasses
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from tpugan.data import DeviceLoader

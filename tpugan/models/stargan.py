@@ -28,7 +28,6 @@ from typing import List
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from tpugan.data import DeviceLoader
@@ -71,6 +70,7 @@ class Config(BaseConfig):
     selected_attrs: List[str] = flag(
         ["Black_Hair", "Blond_Hair", "Brown_Hair", "Male", "Young"],
         "selected attributes for the CelebA dataset",
+        short="--list",  # stargan.py:56-62 exposes both spellings
     )
     n_critic: int = flag(
         5, "number of training iterations for WGAN discriminator"
@@ -328,23 +328,34 @@ def make_sampler(cfg: Config, modules):
 
     @jax.jit
     def translate(g_params, imgs_u8, labels):
+        # ONE batched generator application over all n*c_dim translations
+        # (the reference loops per image, stargan.py:179-195 — same values,
+        # compile-friendly shape here).
         imgs = normalize_uint8(imgs_u8)
-        rows = []
-        for i in range(imgs.shape[0]):
-            img = jnp.repeat(imgs[i : i + 1], c_dim, axis=0)
-            lab = jnp.repeat(labels[i : i + 1], c_dim, axis=0)
-            for sample_i, chs in enumerate(changes):
-                for col, val in chs:
-                    newv = (
-                        1.0 - lab[sample_i, col] if val == -1 else float(val)
+        n = imgs.shape[0]
+        rep_imgs = jnp.repeat(imgs, c_dim, axis=0)  # (n*c_dim, H, W, C)
+        lab = jnp.repeat(labels, c_dim, axis=0).reshape(n, c_dim, c_dim)
+        for sample_i, chs in enumerate(changes):
+            for col, val in chs:
+                if val == -1:
+                    lab = lab.at[:, sample_i, col].set(
+                        1.0 - lab[:, sample_i, col]
                     )
-                    lab = lab.at[sample_i, col].set(newv)
-            gen, _ = apply_mod(G, g_params, None, img, lab)
-            row = jnp.concatenate(
-                [imgs[i]] + [gen[j] for j in range(c_dim)], axis=1
-            )
-            rows.append(row)
-        return jnp.concatenate(rows, axis=0)
+                else:
+                    lab = lab.at[:, sample_i, col].set(float(val))
+        gen, _ = apply_mod(
+            G, g_params, None, rep_imgs, lab.reshape(n * c_dim, c_dim)
+        )
+        gen = gen.reshape(n, c_dim, *gen.shape[1:])
+        # Row per sample: [original | c_dim translations] along width.
+        rows = jnp.concatenate(
+            [imgs[:, None]] + [gen[:, j : j + 1] for j in range(c_dim)],
+            axis=1,
+        )  # (n, c_dim+1, H, W, C)
+        rows = jnp.concatenate(
+            [rows[:, k] for k in range(c_dim + 1)], axis=2
+        )  # (n, H, W*(c_dim+1), C)
+        return jnp.concatenate([rows[k] for k in range(n)], axis=0)
 
     def sample(state, out, batches_done):
         batch = next(iter(val_loader.epoch(int(batches_done))))

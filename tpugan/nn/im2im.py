@@ -15,7 +15,7 @@ init_mode="normal02" (pix2pix — biases keep torch init, models.py:6-12) or
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax

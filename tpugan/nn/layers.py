@@ -14,7 +14,7 @@ open:
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -182,9 +182,9 @@ class InstanceNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-        var = jnp.var(x, axis=(1, 2), keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        from tpugan.ops.pallas_kernels import instance_norm
+
+        y = instance_norm(x, eps=self.eps)
         if self.affine:
             c = x.shape[-1]
             scale_init = (

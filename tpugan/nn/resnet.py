@@ -12,8 +12,6 @@ the encoder — bicyclegan.py:74-78 inits generator and Ds only).
 from __future__ import annotations
 
 import flax.linen as nn
-import jax
-import jax.numpy as jnp
 
 from tpugan.ops.init import kaiming_normal_fan_out
 

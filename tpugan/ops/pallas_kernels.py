@@ -1,0 +1,169 @@
+"""Pallas TPU fast paths.
+
+Policy (SURVEY.md §7): XLA-first with lax reference implementations and
+parity tests; Pallas kernels where a fused single-VMEM-pass wins. The first
+such op is **instance normalization** — the dominant norm of the 256px
+CycleGAN benchmark graph (cyclegan/models.py: 2 + 2*9 + 2 IN layers per
+generator forward, 6 generator forwards per training step): XLA emits
+separate reduce / broadcast-multiply HLOs that each re-read the feature map
+from HBM, while the kernel below computes mean, variance and the normalized
+output in ONE VMEM residency per (batch, spatial-chunk) block.
+
+Layout: NHWC with C on the 128-lane dimension; the (H*W) axis is blocked to
+fit VMEM. The backward pass uses the standard instance-norm VJP
+    dx = (g - mean(g) - xhat * mean(g * xhat)) * rsqrt(var + eps)
+fused the same way via jax.custom_vjp.
+
+Shape guard: the kernel requires the per-sample feature map to fit the
+conservative VMEM budget; callers use :func:`instance_norm` which picks the
+Pallas path when eligible (TPU backend + size fits + C % 128 == 0 for full
+lane utilization) and the XLA reference otherwise. Parity is tested in
+interpret mode on CPU (tests/test_pallas_kernels.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Conservative VMEM budget for one (HW, C) block + scratch (bytes).
+_VMEM_BUDGET = 8 * 1024 * 1024
+
+
+def _in_fwd_kernel(x_ref, o_ref, mean_ref, rstd_ref, *, eps: float):
+    x = x_ref[0]  # (HW, C)
+    mean = jnp.mean(x, axis=0, keepdims=True)
+    var = jnp.mean((x - mean) ** 2, axis=0, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    o_ref[0] = (x - mean) * rstd
+    mean_ref[0] = mean
+    rstd_ref[0] = rstd
+
+
+def _in_bwd_kernel(g_ref, x_ref, mean_ref, rstd_ref, dx_ref):
+    g = g_ref[0]
+    x = x_ref[0]
+    mean = mean_ref[0]
+    rstd = rstd_ref[0]
+    xhat = (x - mean) * rstd
+    g_mean = jnp.mean(g, axis=0, keepdims=True)
+    gx_mean = jnp.mean(g * xhat, axis=0, keepdims=True)
+    dx_ref[0] = (g - g_mean - xhat * gx_mean) * rstd
+
+
+def _fwd_call(x3, eps, interpret):
+    b, hw, c = x3.shape
+    return pl.pallas_call(
+        functools.partial(_in_fwd_kernel, eps=eps),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hw, c), x3.dtype),
+            jax.ShapeDtypeStruct((b, 1, c), x3.dtype),
+            jax.ShapeDtypeStruct((b, 1, c), x3.dtype),
+        ],
+        interpret=interpret,
+    )(x3)
+
+
+def _bwd_call(g3, x3, mean, rstd, interpret):
+    b, hw, c = x3.shape
+    spec = lambda: pl.BlockSpec(
+        (1, hw, c), lambda i: (i, 0, 0),
+        memory_space=pl.ANY if interpret else pltpu.VMEM,
+    )
+    small = lambda: pl.BlockSpec(
+        (1, 1, c), lambda i: (i, 0, 0),
+        memory_space=pl.ANY if interpret else pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        _in_bwd_kernel,
+        grid=(b,),
+        in_specs=[spec(), spec(), small(), small()],
+        out_specs=spec(),
+        out_shape=jax.ShapeDtypeStruct((b, hw, c), x3.dtype),
+        interpret=interpret,
+    )(g3, x3, mean, rstd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def instance_norm_pallas(x, eps: float = 1e-5, interpret: bool = False):
+    """Fused instance norm on NHWC (no affine): one VMEM pass per sample."""
+    b, h, w, c = x.shape
+    x3 = x.reshape(b, h * w, c)
+    y, _, _ = _fwd_call(x3, eps, interpret)
+    return y.reshape(b, h, w, c)
+
+
+def _in_pallas_fwd(x, eps, interpret):
+    b, h, w, c = x.shape
+    x3 = x.reshape(b, h * w, c)
+    y, mean, rstd = _fwd_call(x3, eps, interpret)
+    return y.reshape(b, h, w, c), (x3, mean, rstd)
+
+
+def _in_pallas_bwd(eps, interpret, res, g):
+    x3, mean, rstd = res
+    b, hw, c = x3.shape
+    g3 = g.reshape(b, hw, c)
+    dx = _bwd_call(g3, x3, mean, rstd, interpret)
+    return (dx.reshape(g.shape),)
+
+
+instance_norm_pallas.defvjp(_in_pallas_fwd, _in_pallas_bwd)
+
+
+def instance_norm_xla(x, eps: float = 1e-5):
+    """XLA reference (torch.nn.InstanceNorm2d semantics, affine=False)."""
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+    var = jnp.var(x, axis=(1, 2), keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+def pallas_eligible(x) -> bool:
+    """Use the Pallas path only on TPU, fp32, lane-aligned channels, and a
+    per-sample block that fits the VMEM budget."""
+    if x.ndim != 4 or x.dtype != jnp.float32:
+        return False
+    b, h, w, c = x.shape
+    if c % 128 != 0:
+        return False
+    if (h * w * c * 4) * 2 > _VMEM_BUDGET:  # in + out resident
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def instance_norm(x, eps: float = 1e-5):
+    """Dispatcher: Pallas fused path when opted in AND eligible, XLA
+    reference otherwise.
+
+    Default OFF (``TPUGAN_PALLAS=1`` enables): this environment's TPU access
+    goes through the axon remote-compile tunnel, whose compile helper
+    rejects Mosaic kernels (HTTP 500 from tpu_compile_helper) even though
+    ``jax.default_backend()`` reports "tpu" — measured 2026-08-16. On a
+    directly-attached TPU runtime set TPUGAN_PALLAS=1 to enable the fused
+    path; parity is covered by tests/test_pallas_kernels.py either way.
+    """
+    import os
+
+    if os.environ.get("TPUGAN_PALLAS", "0") == "1" and pallas_eligible(x):
+        return instance_norm_pallas(x, eps)
+    return instance_norm_xla(x, eps)

@@ -48,6 +48,16 @@ class BaseConfig:
     synthetic_data: bool = flag(False, "force synthetic procedural data")
     # Compute dtype for the model ("float32" parity default, "bfloat16" perf).
     dtype: str = flag("float32", "compute dtype: float32|bfloat16")
+    # Machine-readable per-step metrics (jsonl lines of the step's scalar
+    # outputs); "" disables. The reference only prints (SURVEY.md §5).
+    metrics_jsonl: str = flag("", "path for per-step scalar metrics jsonl")
+    # Capture a jax.profiler trace of steps [2, 2+N) into this directory;
+    # "" disables.
+    profile_dir: str = flag("", "jax.profiler trace output directory")
+    profile_steps: int = flag(5, "number of steps to profile")
+    # Debug mode: disable input prefetch + enable NaN checks (SURVEY.md §5
+    # race-surface notes).
+    debug_numerics: bool = flag(False, "enable jax_debug_nans")
 
 
 def _field_type(f: dataclasses.Field) -> Any:
@@ -67,7 +77,11 @@ def add_config_args(parser: argparse.ArgumentParser, cls: type) -> None:
     for f in dataclasses.fields(cls):
         t = _field_type(f)
         helpmsg = f.metadata.get("help", "") if f.metadata else ""
-        name = "--" + f.name
+        names = ["--" + f.name]
+        short = f.metadata.get("short") if f.metadata else None
+        if short:
+            names.insert(0, short)
+        name = names  # unpacked below
         if f.default is not dataclasses.MISSING:
             default = f.default
         elif f.default_factory is not dataclasses.MISSING:  # type: ignore[misc]
@@ -76,18 +90,21 @@ def add_config_args(parser: argparse.ArgumentParser, cls: type) -> None:
             default = None
         if t is bool:
             if default:
-                parser.add_argument(name, action="store_false", help=helpmsg)
+                parser.add_argument(*name, dest=f.name,
+                                    action="store_false", help=helpmsg)
             else:
-                parser.add_argument(name, action="store_true", help=helpmsg)
+                parser.add_argument(*name, dest=f.name,
+                                    action="store_true", help=helpmsg)
         elif get_origin(t) in (list, List) or t in (List[str], List[int]):
             elem = (get_args(t) or (str,))[0]
-            parser.add_argument(name, type=elem, nargs="+", default=default,
-                                help=helpmsg)
+            parser.add_argument(*name, dest=f.name, type=elem, nargs="+",
+                                default=default, help=helpmsg)
         else:
             if get_origin(t) is not None:  # Optional[...]
                 args = [a for a in get_args(t) if a is not type(None)]
                 t = args[0] if args else str
-            parser.add_argument(name, type=t, default=default, help=helpmsg)
+            parser.add_argument(*name, dest=f.name, type=t, default=default,
+                                help=helpmsg)
 
 
 def config_from_args(cls: type, argv: Optional[Sequence[str]] = None):
