@@ -56,7 +56,9 @@ class Encoder(nn.Module):
 
     @nn.compact
     def __call__(self, img, train: bool = True):
-        x = img.reshape(img.shape[0], -1)
+        from tpugan.nn.layers import flatten_nchw
+
+        x = flatten_nchw(img)  # torch img.view(B, -1) (aae.py:62)
         x = Linear(512)(x)
         x = leaky_relu(x, 0.2)
         x = Linear(512)(x)
@@ -82,7 +84,9 @@ class Decoder(nn.Module):
         h, w, c = self.img_shape
         x = Linear(h * w * c)(x)
         x = jnp.tanh(x)
-        return x.reshape(x.shape[0], h, w, c)
+        from tpugan.nn.layers import unflatten_nchw
+
+        return unflatten_nchw(x, c, h, w)  # torch view order (aae.py:86)
 
 
 def build(cfg: Config):

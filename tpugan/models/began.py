@@ -64,16 +64,19 @@ class BEGANDiscriminator(nn.Module):
     @nn.compact
     def __call__(self, img, train: bool = True):
         down_size = self.img_size // 2
+        from tpugan.nn.layers import flatten_nchw, unflatten_nchw
+
         x = Conv(64, 3, 2, 1, init_mode="normal02")(img)
         x = nn.relu(x)
-        flat = x.reshape(x.shape[0], -1)
+        flat = flatten_nchw(x)  # torch out.view(B, -1) (began.py:97)
         y = Linear(32)(flat)
         y = BatchNorm(eps=0.8, init_mode="torch")(y, train=train)
         y = nn.relu(y)
         y = Linear(flat.shape[-1])(y)
         y = BatchNorm(init_mode="torch")(y, train=train)
         y = nn.relu(y)
-        y = y.reshape(y.shape[0], down_size, down_size, 64)
+        # torch out.view(B, 64, d, d) order (began.py:98).
+        y = unflatten_nchw(y, 64, down_size, down_size)
         y = Upsample(2)(y)
         return Conv(self.channels, 3, 1, 1, init_mode="normal02")(y)
 

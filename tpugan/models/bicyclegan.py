@@ -112,6 +112,7 @@ class BicycleGenerator(nn.Module):
     @nn.compact
     def __call__(self, x, z, train: bool = True):
         zmap = Linear(self.img_height * self.img_width, init_mode="torch")(z)
+        # torch view(B, 1, H, W) == NHWC (B, H, W, 1) for a single channel.
         zmap = zmap.reshape(z.shape[0], self.img_height, self.img_width, 1)
         y = jnp.concatenate([x, zmap], axis=-1)
         d1 = _BiDown(64, normalize=False)(y, train)

@@ -87,7 +87,10 @@ class GeneratorCNN(nn.Module):
         x = Linear(128 * 7 * 7, init_mode="normal02zero")(x)
         x = BatchNorm(init_mode="torch")(x, train=train)
         x = leaky_relu(x, 0.2)
-        x = x.reshape(x.shape[0], 7, 7, 128)
+        # torch Reshape((128, 7, 7)) element order (clustergan.py:171).
+        from tpugan.nn.layers import unflatten_nchw
+
+        x = unflatten_nchw(x, 128, 7, 7)
         x = ConvTranspose(64, 4, 2, 1, init_mode="normal02zero")(x)
         x = BatchNorm(init_mode="torch")(x, train=train)
         x = leaky_relu(x, 0.2)
@@ -106,7 +109,9 @@ class _ConvTrunk(nn.Module):
         x = leaky_relu(x, 0.2)
         x = Conv(128, 4, 2, 0, init_mode="normal02zero")(x)
         x = leaky_relu(x, 0.2)
-        x = x.reshape(x.shape[0], -1)
+        from tpugan.nn.layers import flatten_nchw
+
+        x = flatten_nchw(x)  # torch Reshape((128*5*5,)) order
         x = Linear(1024, init_mode="normal02zero")(x)
         return leaky_relu(x, 0.2)
 

@@ -76,9 +76,12 @@ class CoupledGenerators(nn.Module):
 
     @nn.compact
     def __call__(self, z, train: bool = True):
+        from tpugan.nn.layers import unflatten_nchw
+
         s0 = self.img_size // 4
         x = Linear(128 * s0 * s0, init_mode="normal02")(z)
-        x = x.reshape(x.shape[0], s0, s0, 128)
+        # torch out.view(B, 128, s0, s0) order (cogan.py:82-83).
+        x = unflatten_nchw(x, 128, s0, s0)
         x = BatchNorm(init_mode="normal02")(x, train=train)  # default eps
         x = Upsample(2)(x)
         x = Conv(128, 3, 1, 1, init_mode="torch")(x)
@@ -103,7 +106,9 @@ class _DTrunk(nn.Module):
                 x = BatchNorm(eps=0.8, init_mode="normal02")(x, train=train)
             x = leaky_relu(x, 0.2)
             x = Dropout2d(0.25)(x, train=train)
-        return x.reshape(x.shape[0], -1)
+        from tpugan.nn.layers import flatten_nchw
+
+        return flatten_nchw(x)  # torch out.view(B, -1) (cogan.py:115)
 
 
 class CoupledDiscriminators(nn.Module):

@@ -63,9 +63,11 @@ class EBGANDiscriminator(nn.Module):
     @nn.compact
     def __call__(self, img, train: bool = True):
         down_size = self.img_size // 2
+        from tpugan.nn.layers import flatten_nchw, unflatten_nchw
+
         x = Conv(64, 3, 2, 1, init_mode="normal02")(img)
         x = nn.relu(x)
-        flat = x.reshape(x.shape[0], -1)
+        flat = flatten_nchw(x)  # torch out.view(B, -1) (ebgan.py:98)
         embedding = Linear(32)(flat)
         # fc stack (ebgan.py:86-92); BN1d layers keep torch init (see module
         # docstring) — eps 0.8 on the first, default on the second.
@@ -74,7 +76,8 @@ class EBGANDiscriminator(nn.Module):
         y = Linear(flat.shape[-1])(y)
         y = BatchNorm(init_mode="torch")(y, train=train)
         y = nn.relu(y)
-        y = y.reshape(y.shape[0], down_size, down_size, 64)
+        # torch out.view(B, 64, d, d) order (ebgan.py:100).
+        y = unflatten_nchw(y, 64, down_size, down_size)
         y = Upsample(2)(y)
         recon = Conv(self.channels, 3, 1, 1, init_mode="normal02")(y)
         return recon, embedding

@@ -89,7 +89,12 @@ class PixelDAGenerator(nn.Module):
     def __call__(self, img, z, train: bool = True):
         # fc is a Linear — NOT matched by this script's init filter -> torch.
         noise_map = Linear(self.channels * self.img_size**2, init_mode="torch")(z)
-        noise_map = noise_map.reshape(img.shape)
+        from tpugan.nn.layers import unflatten_nchw
+
+        # torch self.fc(z).view(*img.shape) is NCHW order (pixelda.py:87).
+        noise_map = unflatten_nchw(
+            noise_map, self.channels, self.img_size, self.img_size
+        )
         x = jnp.concatenate([img, noise_map], axis=-1)
         x = Conv(64, 3, 1, 1, init_mode="normal02")(x)
         x = nn.relu(x)
@@ -134,8 +139,10 @@ class PixelDAClassifier(nn.Module):
     @nn.compact
     def __call__(self, img, train: bool = True):
         del train
+        from tpugan.nn.layers import flatten_nchw
+
         x = _Blocks()(img)
-        x = x.reshape(x.shape[0], -1)
+        x = flatten_nchw(x)
         x = Linear(self.n_classes, init_mode="torch")(x)
         return jax.nn.softmax(x, axis=-1)
 

@@ -23,7 +23,9 @@ from tpugan.nn.layers import (
     Dropout2d,
     Linear,
     Upsample,
+    flatten_nchw,
     leaky_relu,
+    unflatten_nchw,
 )
 
 
@@ -51,7 +53,8 @@ class MLPGenerator(nn.Module):
         h, w_, c = self.img_shape
         x = Linear(h * w_ * c)(x)
         x = jnp.tanh(x)
-        return x.reshape(x.shape[0], h, w_, c)
+        # torch view(B, C, H, W) element order (gan/gan.py:59-60).
+        return unflatten_nchw(x, c, h, w_)
 
 
 class MLPDiscriminator(nn.Module):
@@ -64,7 +67,7 @@ class MLPDiscriminator(nn.Module):
 
     @nn.compact
     def __call__(self, img, train: bool = True):
-        x = img.reshape(img.shape[0], -1)
+        x = flatten_nchw(img)  # torch img.view(B, -1) order (gan/gan.py:79)
         for w in self.widths:
             x = Linear(w)(x)
             x = leaky_relu(x, 0.2)
@@ -95,7 +98,8 @@ class DCGANGenerator(nn.Module):
     def __call__(self, z, train: bool = True):
         s0 = self.img_size // 4
         x = Linear(128 * s0 * s0)(z)
-        x = x.reshape(x.shape[0], s0, s0, 128)
+        # torch out.view(B, 128, s0, s0) element order (dcgan/dcgan.py:68-69).
+        x = unflatten_nchw(x, 128, s0, s0)
         if self.first_bn:
             x = BatchNorm(init_mode=self.init_mode)(x, train=train)  # default eps
         x = Upsample(2)(x)
@@ -129,7 +133,7 @@ class DCGANTrunk(nn.Module):
             x = Dropout2d(0.25)(x, train=train)
             if i > 0:
                 x = BatchNorm(eps=self.bn_eps, init_mode=self.init_mode)(x, train=train)
-        return x.reshape(x.shape[0], -1)
+        return flatten_nchw(x)  # torch out.view(B, -1) (dcgan/dcgan.py:96)
 
 
 class DCGANDiscriminator(nn.Module):

@@ -51,6 +51,21 @@ def leaky_relu(x: jax.Array, negative_slope: float = 0.2) -> jax.Array:
     return jnp.where(x >= 0, x, negative_slope * x)
 
 
+def flatten_nchw(x: jax.Array) -> jax.Array:
+    """torch ``img.view(B, -1)`` parity from an NHWC tensor: flatten in
+    (C, H, W) element order so Linear weights transplant exactly
+    (tests/test_golden_parity.py). Non-spatial inputs (already (B, F), e.g.
+    aae's latent-space discriminator) pass through unchanged."""
+    if x.ndim != 4:
+        return x.reshape(x.shape[0], -1)
+    return jnp.transpose(x, (0, 3, 1, 2)).reshape(x.shape[0], -1)
+
+
+def unflatten_nchw(x: jax.Array, c: int, h: int, w: int) -> jax.Array:
+    """torch ``flat.view(B, C, H, W)`` parity, returned as NHWC."""
+    return jnp.transpose(x.reshape(x.shape[0], c, h, w), (0, 2, 3, 1))
+
+
 class Linear(nn.Module):
     """torch.nn.Linear parity (weight & bias U(+-1/sqrt(fan_in)))."""
 
