@@ -28,7 +28,7 @@ BATCH = 64
 IMG = 64
 
 
-def main() -> None:
+def main() -> None:  # noqa: C901
     from tpugan.models import dcgan
 
     cfg = dcgan.Config(
@@ -44,17 +44,28 @@ def main() -> None:
     batches = [jax.device_put(host[i]) for i in range(n_batches)]
     labels = jax.device_put(np.zeros((BATCH,), np.int32))
 
+    def timed(n):
+        """Run n steps and HARD-sync via a scalar D2H fetch. On the axon
+        remote backend block_until_ready can return before short runs have
+        executed (measured 2026-08-16: a 5-step burst "completed" in 10ms
+        while the true step time was 84ms), so throughput is derived from
+        the difference of two run lengths below."""
+        nonlocal state
+        t0 = time.perf_counter()
+        for i in range(n):
+            state, out = step(state, batches[i % n_batches], labels)
+        float(out["d_loss"])
+        return time.perf_counter() - t0
+
     for i in range(WARMUP):
         state, out = step(state, batches[i % n_batches], labels)
-    jax.block_until_ready(out["d_loss"])
+    float(out["d_loss"])
 
-    t0 = time.perf_counter()
-    for i in range(STEPS):
-        state, out = step(state, batches[i % n_batches], labels)
-    jax.block_until_ready(out["d_loss"])
-    dt = time.perf_counter() - t0
-
-    ips = STEPS * BATCH / dt
+    n1, n2 = STEPS // 4, STEPS
+    t1 = timed(n1)
+    t2 = timed(n2)
+    dt = max(t2 - t1, 1e-9)
+    ips = (n2 - n1) * BATCH / dt
     print(
         json.dumps(
             {

@@ -40,15 +40,23 @@ def main() -> None:
     a = jax.device_put(rng.integers(0, 255, (BATCH, IMG, IMG, 3), dtype=np.uint8))
     b = jax.device_put(rng.integers(0, 255, (BATCH, IMG, IMG, 3), dtype=np.uint8))
 
+    def timed(n):
+        # Difference-method timing with a hard scalar sync (see bench.py:
+        # axon's block_until_ready under-waits on short runs).
+        nonlocal state
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, out = step(state, a, b)
+        float(out["d_loss"])
+        return time.perf_counter() - t0
+
     for _ in range(WARMUP):
         state, out = step(state, a, b)
-    jax.block_until_ready(out["d_loss"])
-    t0 = time.perf_counter()
-    for _ in range(STEPS):
-        state, out = step(state, a, b)
-    jax.block_until_ready(out["d_loss"])
-    dt = time.perf_counter() - t0
-    ips = STEPS * BATCH / dt
+    float(out["d_loss"])
+    n1, n2 = max(STEPS // 4, 1), STEPS
+    t1 = timed(n1)
+    t2 = timed(n2)
+    ips = (n2 - n1) * BATCH / max(t2 - t1, 1e-9)
     print(
         json.dumps(
             {
