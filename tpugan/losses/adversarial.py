@@ -15,6 +15,7 @@ import jax.numpy as jnp
 def bce(probs: jax.Array, target) -> jax.Array:
     """torch.nn.BCELoss parity: log terms clamped at -100 (torch clamps to
     keep BCE finite at p∈{0,1})."""
+    probs = probs.astype(jnp.float32)  # losses always accumulate in f32
     target = jnp.broadcast_to(jnp.asarray(target, probs.dtype), probs.shape)
     log_p = jnp.maximum(jnp.log(probs), -100.0)
     log_1p = jnp.maximum(jnp.log1p(-probs), -100.0)
@@ -23,6 +24,7 @@ def bce(probs: jax.Array, target) -> jax.Array:
 
 def bce_with_logits(logits: jax.Array, target) -> jax.Array:
     """torch.nn.BCEWithLogitsLoss parity (numerically stable)."""
+    logits = logits.astype(jnp.float32)
     target = jnp.broadcast_to(jnp.asarray(target, logits.dtype), logits.shape)
     return jnp.mean(
         jnp.maximum(logits, 0.0) - logits * target + jnp.log1p(jnp.exp(-jnp.abs(logits)))
@@ -31,18 +33,21 @@ def bce_with_logits(logits: jax.Array, target) -> jax.Array:
 
 def mse(pred: jax.Array, target) -> jax.Array:
     """torch.nn.MSELoss — the LSGAN-family adversarial loss."""
+    pred = pred.astype(jnp.float32)
     target = jnp.broadcast_to(jnp.asarray(target, pred.dtype), pred.shape)
     return jnp.mean((pred - target) ** 2)
 
 
 def l1(pred: jax.Array, target) -> jax.Array:
     """torch.nn.L1Loss."""
+    pred = pred.astype(jnp.float32)
     target = jnp.broadcast_to(jnp.asarray(target, pred.dtype), pred.shape)
     return jnp.mean(jnp.abs(pred - target))
 
 
 def cross_entropy_logits(logits: jax.Array, labels: jax.Array) -> jax.Array:
     """torch.nn.CrossEntropyLoss(logits, int labels), mean-reduced."""
+    logits = logits.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
     picked = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
     return -jnp.mean(picked)

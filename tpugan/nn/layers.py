@@ -30,6 +30,27 @@ from tpugan.ops.image import pixel_shuffle, upsample_nearest, resize_bilinear
 
 Dtype = Any
 
+# Global compute-dtype knob (BaseConfig.dtype wires it): None = float32
+# parity; jnp.bfloat16 = mixed precision (bf16 conv/dense compute on the
+# MXU, float32 params and norm statistics). Wrappers read it when their own
+# ``dtype`` field is unset.
+_DEFAULT_COMPUTE_DTYPE = [None]
+
+
+def set_default_compute_dtype(dtype) -> None:
+    """Set the process-wide compute dtype for Conv/ConvTranspose/Linear
+    (norms deliberately stay float32 for stable statistics)."""
+    _DEFAULT_COMPUTE_DTYPE[0] = dtype
+
+
+def resolve_dtype(dtype_str: str):
+    """Map a BaseConfig.dtype string to the knob value."""
+    return {"float32": None, "bfloat16": jnp.bfloat16}[dtype_str]
+
+
+def _compute_dtype(explicit):
+    return explicit if explicit is not None else _DEFAULT_COMPUTE_DTYPE[0]
+
 
 def _weight_init(mode: str, fan_in: int):
     if mode == "torch":
@@ -82,7 +103,7 @@ class Linear(nn.Module):
             use_bias=self.use_bias,
             kernel_init=_weight_init(self.init_mode, fan_in),
             bias_init=_bias_init(self.init_mode, fan_in),
-            dtype=self.dtype,
+            dtype=_compute_dtype(self.dtype),
         )(x)
 
 
@@ -109,7 +130,7 @@ class Conv(nn.Module):
             use_bias=self.use_bias,
             kernel_init=_weight_init(self.init_mode, fan_in),
             bias_init=_bias_init(self.init_mode, fan_in),
-            dtype=self.dtype,
+            dtype=_compute_dtype(self.dtype),
         )(x)
 
 
@@ -143,7 +164,7 @@ class ConvTranspose(nn.Module):
             use_bias=self.use_bias,
             kernel_init=_weight_init(self.init_mode, fan_in),
             bias_init=_bias_init(self.init_mode, fan_in),
-            dtype=self.dtype,
+            dtype=_compute_dtype(self.dtype),
         )(x)
         # torch output size: (in-1)*s - 2p + k ; trim/assert if flax differs.
         b, h_in = x.shape[0], x.shape[1]

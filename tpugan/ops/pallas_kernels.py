@@ -129,10 +129,13 @@ instance_norm_pallas.defvjp(_in_pallas_fwd, _in_pallas_bwd)
 
 
 def instance_norm_xla(x, eps: float = 1e-5):
-    """XLA reference (torch.nn.InstanceNorm2d semantics, affine=False)."""
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.var(x, axis=(1, 2), keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    """XLA reference (torch.nn.InstanceNorm2d semantics, affine=False).
+    Statistics in float32 regardless of compute dtype (mixed-precision
+    safety); output restored to the input dtype."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.var(x32, axis=(1, 2), keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 def pallas_eligible(x) -> bool:

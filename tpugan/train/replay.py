@@ -31,6 +31,7 @@ def replay_init(max_size: int, item_shape: Tuple[int, ...]) -> dict:
 
 def replay_push_and_pop(buf: dict, batch: jax.Array, rng: jax.Array):
     """Returns (new_buf, out_batch) with utils.py:19-33 semantics."""
+    batch = batch.astype(buf["data"].dtype)  # buffer stays float32
     max_size = buf["data"].shape[0]
 
     def one(carry, inp):

@@ -111,4 +111,12 @@ def config_from_args(cls: type, argv: Optional[Sequence[str]] = None):
     parser = argparse.ArgumentParser(prog=getattr(cls, "prog", cls.__name__))
     add_config_args(parser, cls)
     ns = parser.parse_args(argv)
-    return cls(**vars(ns))
+    cfg = cls(**vars(ns))
+    # Wire the compute dtype (mixed precision) process-wide: --dtype
+    # bfloat16 runs conv/dense compute in bf16 on the MXU with float32
+    # params and norm statistics; float32 (default) is exact parity.
+    if getattr(cfg, "dtype", "float32") != "float32":
+        from tpugan.nn.layers import resolve_dtype, set_default_compute_dtype
+
+        set_default_compute_dtype(resolve_dtype(cfg.dtype))
+    return cfg
