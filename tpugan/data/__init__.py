@@ -6,4 +6,8 @@ from tpugan.data.sources import (  # noqa: F401
     mnistm_or_synthetic,
     synthetic_mnistm_like,
 )
-from tpugan.data.loader import DeviceLoader, ZipLoader  # noqa: F401
+from tpugan.data.loader import (  # noqa: F401
+    DeviceLoader,
+    UnpairedLoader,
+    ZipLoader,
+)

@@ -125,7 +125,8 @@ def synthetic_scene_pairs(
         b[i] = bg * light
         for _ in range(rng.integers(4, 9)):
             c = palette[rng.integers(len(palette))]
-            y0, x0 = rng.integers(0, height - 8), rng.integers(0, width - 8)
+            y0 = rng.integers(0, max(height - 8, 1))
+            x0 = rng.integers(0, max(width - 8, 1))
             hh = rng.integers(8, max(height // 2, 9))
             ww = rng.integers(8, max(width // 2, 9))
             y1, x1 = min(y0 + hh, height), min(x0 + ww, width)
@@ -153,11 +154,12 @@ def paired_or_synthetic(
     if not synthetic:
         root = os.path.join(data_dir, dataset_name)
         pair = load_paired_folder(root, split, height, width)
-        if pair is None:
-            pair = load_unpaired_folders(root, split, height, width)
-            if pair is not None and len(pair[0]) == len(pair[1]):
-                return pair[0], pair[1], True
         if pair is not None:
+            return pair[0], pair[1], True
+        # cyclegan-layout fallback only works as PAIRED data when the two
+        # folders align 1:1; otherwise fall through to synthetic pairs.
+        pair = load_unpaired_folders(root, split, height, width)
+        if pair is not None and len(pair[0]) == len(pair[1]):
             return pair[0], pair[1], True
     a, b = synthetic_scene_pairs(synthetic_n, height, width, seed)
     return a, b, False

@@ -111,6 +111,38 @@ class DeviceLoader:
         return self.epoch()
 
 
+class UnpairedLoader(DeviceLoader):
+    """Unaligned two-domain loader (cyclegan/datasets.py:24-41 semantics):
+    epoch length = max(len(A), len(B)) batches of A cycled+shuffled, with B
+    drawn UNIFORMLY AT RANDOM from the FULL B set every item — no
+    truncation to min length and no fixed pairing."""
+
+    def __init__(self, a: np.ndarray, b: np.ndarray, batch_size: int,
+                 seed: int = 0, prefetch: int = 2, sharding=None,
+                 host_transform=None):
+        n = max(len(a), len(b))
+        super().__init__(
+            [a], batch_size, shuffle=True, seed=seed, prefetch=prefetch,
+            sharding=sharding, host_transform=host_transform,
+        )
+        self.n = n  # reference: len = max(len A, len B)
+        self._a = a
+        self._b = b
+
+    def _host_batches(self, epoch: int):
+        rng = np.random.default_rng(self.seed * 1000003 + epoch)
+        # A cycled to n then shuffled (index % len(A), datasets.py:26).
+        idx_a = rng.permutation(self.n) % len(self._a)
+        nb = len(self)
+        for bi in range(nb):
+            sel = idx_a[bi * self.batch_size : (bi + 1) * self.batch_size]
+            b_sel = rng.integers(0, len(self._b), size=len(sel))
+            batch = (self._a[sel], self._b[b_sel])
+            if self.host_transform is not None:
+                batch = self.host_transform(batch, epoch, bi)
+            yield batch
+
+
 class ZipLoader:
     """Zip of independently-shuffled loaders (the two-domain pattern:
     ``zip(dataloader1, dataloader2)`` in cogan/cogan.py:184 and

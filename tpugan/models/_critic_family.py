@@ -151,9 +151,15 @@ def run_critic_family(cfg, modules, state, d_step, g_step, sample_inside_gstep: 
     sample_inside_gstep=True: wgan_gp/div style (check only on G batches,
     batches_done += n_critic; wgan_gp.py:196-203).
     """
+    from tpugan.models._im2im_common import StepObserver
+    from tpugan.parallel import auto_sharding, replicate_for
+
     imgdir = os.path.join(cfg.output_dir, "images")
     os.makedirs(imgdir, exist_ok=True)
-    loader = make_loader_a(cfg)
+    sharding = auto_sharding(cfg.batch_size)
+    loader = make_loader_a(cfg, sharding=sharding)
+    state = replicate_for(sharding, state)
+    observer = StepObserver(cfg)
     jd = jax.jit(d_step, donate_argnums=0)
     jg = jax.jit(g_step, donate_argnums=0)
     bpe = len(loader)
@@ -175,6 +181,7 @@ def run_critic_family(cfg, modules, state, d_step, g_step, sample_inside_gstep: 
             if cfg.max_batches >= 0 and i >= cfg.max_batches:
                 break
             state, d_out = jd(state, *batch)
+            observer.observe(epoch * bpe + i, d_out)
             if i % cfg.n_critic == 0:
                 state, g_out = jg(state, d_out["z"])
                 last_gen = g_out["gen_imgs"]
@@ -206,4 +213,5 @@ def run_critic_family(cfg, modules, state, d_step, g_step, sample_inside_gstep: 
                 batches_done += 1
             elif i % cfg.n_critic == 0:
                 batches_done += cfg.n_critic
+    observer.close()
     return state

@@ -233,7 +233,11 @@ def make_loader(cfg: Config, batch_size=None, sharding=None):
 def run(cfg: Config):
     modules = build(cfg)
     state = create_state(cfg, modules)
-    loader = make_loader(cfg)
+    from tpugan.parallel import auto_sharding, replicate_for
+
+    sharding = auto_sharding(cfg.batch_size)
+    state = replicate_for(sharding, state)
+    loader = make_loader(cfg, sharding=sharding)
     step = make_step(cfg, modules)
     G = modules["generator"]
     imgdir = os.path.join(cfg.output_dir, "images")
@@ -259,16 +263,8 @@ def run(cfg: Config):
         )
 
     def sample(state, out, batches_done):
-        import numpy as np
-
-        if not saved_samples:
-            for k in ("imgs", "masked", "lowres"):
-                saved_samples[k] = np.asarray(jax.device_get(out[k][:1]))
-        elif len(saved_samples["imgs"]) < 10:
-            for k in ("imgs", "masked", "lowres"):
-                saved_samples[k] = np.concatenate(
-                    [saved_samples[k], np.asarray(jax.device_get(out[k][:1]))]
-                )
+        if not saved_samples:  # sample() can fire before the first log call
+            _accumulate(out)
         gen = gen_preview(
             state.params["generator"], state.model_state["generator"],
             jnp.asarray(saved_samples["masked"]),
@@ -285,10 +281,8 @@ def run(cfg: Config):
             nrow=5, normalize=True,
         )
 
-    # The reference accumulates saved samples EVERY batch; replicate by
-    # hooking accumulation into the log callback path via sample() calls at
-    # sample_interval plus explicit accumulation each batch.
-    def log_and_accumulate(epoch, i, bpe, out):
+    def _accumulate(out):
+        # First sample of each of the first ten batches (ccgan.py:158-166).
         import numpy as np
 
         if not saved_samples:
@@ -299,6 +293,9 @@ def run(cfg: Config):
                 saved_samples[k] = np.concatenate(
                     [saved_samples[k], np.asarray(jax.device_get(out[k][:1]))]
                 )
+
+    def log_and_accumulate(epoch, i, bpe, out):
+        _accumulate(out)
         log(epoch, i, bpe, out)
 
     return run_training(

@@ -63,7 +63,9 @@ class CGANGenerator(nn.Module):
             x = leaky_relu(x, 0.2)
         h, w_, c = self.img_shape
         x = jnp.tanh(Linear(h * w_ * c)(x))
-        return x.reshape(x.shape[0], h, w_, c)
+        from tpugan.nn.layers import unflatten_nchw
+
+        return unflatten_nchw(x, c, h, w_)  # torch view order (cgan.py:56)
 
 
 class CGANDiscriminator(nn.Module):
@@ -71,8 +73,11 @@ class CGANDiscriminator(nn.Module):
 
     @nn.compact
     def __call__(self, img, labels, train: bool = True):
+        from tpugan.nn.layers import flatten_nchw
+
         emb = Embedding(self.n_classes, self.n_classes)(labels)
-        x = jnp.concatenate([img.reshape(img.shape[0], -1), emb], axis=-1)
+        # torch img.view(B, -1) element order (cgan.py:89).
+        x = jnp.concatenate([flatten_nchw(img), emb], axis=-1)
         x = leaky_relu(Linear(512)(x), 0.2)
         x = Linear(512)(x)
         x = Dropout(0.4)(x, train=train)

@@ -42,7 +42,9 @@ from tpugan.io.images import save_image
 from tpugan.losses import bce, cross_entropy_logits, mse
 from tpugan.models._common import apply_mod, init_module
 from tpugan.nn.layers import BatchNorm, Conv, ConvTranspose, Linear, leaky_relu
+from tpugan.models._im2im_common import StepObserver
 from tpugan.ops.penalty import wgan_gp_penalty
+from tpugan.parallel import auto_sharding, replicate_for
 from tpugan.train.optim import adam_torch
 from tpugan.train.state import TrainState
 from tpugan.utils.config import BaseConfig, config_from_args, flag
@@ -411,7 +413,10 @@ def make_epoch_eval(cfg: Config, modules):
 def run(cfg: Config):
     modules = build(cfg)
     state = create_state(cfg, modules)
-    loader = make_loader(cfg)
+    sharding = auto_sharding(cfg.batch_size)
+    loader = make_loader(cfg, sharding=sharding)
+    state = replicate_for(sharding, state)
+    observer = StepObserver(cfg)
     full_step, d_step = make_steps(cfg, modules)
     full_step = jax.jit(full_step)
     d_step = jax.jit(d_step)
@@ -431,12 +436,14 @@ def run(cfg: Config):
                 ge_loss = float(out["ge_loss"])
             else:
                 state, out = d_step(state, *batch)
+            observer.observe(epoch * bpe + i, out)
             d_loss = float(out["d_loss"])
         print(
             "[Epoch %d/%d] \n\tModel Losses: [D: %f] [GE: %f]"
             % (epoch, cfg.n_epochs, d_loss, ge_loss)
         )
         epoch_end(state, epoch)
+    observer.close()
     return state
 
 

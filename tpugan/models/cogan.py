@@ -251,7 +251,11 @@ def make_loader(cfg: Config, sharding=None) -> ZipLoader:
 def run(cfg: Config):
     modules = build(cfg)
     state = create_state(cfg, modules)
-    loader = make_loader(cfg)
+    from tpugan.parallel import auto_sharding, replicate_for
+
+    sharding = auto_sharding(cfg.batch_size)
+    state = replicate_for(sharding, state)
+    loader = make_loader(cfg, sharding=sharding)
     step = make_step(cfg, modules)
     imgdir = os.path.join(cfg.output_dir, "images")
     os.makedirs(imgdir, exist_ok=True)

@@ -269,7 +269,11 @@ def make_sampler(cfg: Config, modules):
 def run(cfg: Config):
     modules = build(cfg)
     state = create_state(cfg, modules)
-    loader = make_loader(cfg)
+    from tpugan.parallel import auto_sharding, replicate_for
+
+    sharding = auto_sharding(cfg.batch_size)
+    state = replicate_for(sharding, state)
+    loader = make_loader(cfg, sharding=sharding)
     step = make_step(cfg, modules)
     sampler = make_sampler(cfg, modules)
 

@@ -26,23 +26,23 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from tpugan.data import DeviceLoader
+from tpugan.data import UnpairedLoader
 from tpugan.data.im2im import (
-    compose_transforms,
     resize_crop_flip_transform,
     unpaired_or_synthetic,
-    unpaired_shuffle_transform,
 )
 from tpugan.io.images import make_grid, save_image
 from tpugan.losses import l1, mse
 from tpugan.models._common import apply_mod, init_module
 from tpugan.models._im2im_common import (
+    StepObserver,
     EtaLogger,
     checkpoint_epoch,
     maybe_resume,
     out_dirs,
 )
 from tpugan.nn.im2im import GeneratorResNet, PatchGAN
+from tpugan.parallel import auto_sharding, replicate_for
 from tpugan.train.optim import adam_torch, linear_decay_schedule
 from tpugan.train.replay import replay_init, replay_push_and_pop
 from tpugan.train.state import TrainState, normalize_uint8
@@ -220,17 +220,16 @@ def make_loader(cfg: Config, split="train", batch_size=None, sharding=None):
             "[tpugan] dataset %r not found on disk — using synthetic domains"
             % cfg.dataset_name
         )
-    n = min(len(a), len(b))
-    transform = compose_transforms(
-        unpaired_shuffle_transform(cfg.seed, index=1),
+    transform = (
         resize_crop_flip_transform(
             cfg.seed, cfg.img_height, cfg.img_width, indices=(0, 1)
-        ),
-    ) if split == "train" else unpaired_shuffle_transform(cfg.seed + 7, index=1)
-    return DeviceLoader(
-        [a[:n], b[:n]],
+        )
+        if split == "train"
+        else None
+    )
+    return UnpairedLoader(
+        a, b,
         batch_size or cfg.batch_size,
-        shuffle=True,
         seed=cfg.seed if split == "train" else cfg.seed + 991,
         sharding=sharding,
         host_transform=transform,
@@ -269,13 +268,16 @@ def make_sampler(cfg: Config, modules):
 
 def run(cfg: Config):
     modules = build(cfg)
-    loader = make_loader(cfg)
+    sharding = auto_sharding(cfg.batch_size)
+    loader = make_loader(cfg, sharding=sharding)
     bpe = len(loader)
     if cfg.max_batches >= 0:
         bpe = min(bpe, cfg.max_batches)
     state = maybe_resume(
         create_state(cfg, modules, steps_per_epoch=bpe), cfg, MODULES
     )
+    state = replicate_for(sharding, state)
+    observer = StepObserver(cfg)
     step = jax.jit(make_step(cfg, modules, steps_per_epoch=bpe), donate_argnums=0)
     sample = make_sampler(cfg, modules)
     eta = EtaLogger(cfg.n_epochs)
@@ -286,6 +288,7 @@ def run(cfg: Config):
                 break
             state, out = step(state, *batch)
             batches_done = epoch * bpe + i
+            observer.observe(batches_done, out)
             if cfg.log_interval > 0 and i % cfg.log_interval == 0:
                 eta.line(
                     epoch, i, bpe,
@@ -299,6 +302,7 @@ def run(cfg: Config):
             if cfg.sample_interval > 0 and batches_done % cfg.sample_interval == 0:
                 sample(state, out, batches_done)
         checkpoint_epoch(state, cfg, epoch, MODULES)
+    observer.close()
     return state
 
 

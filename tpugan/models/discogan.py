@@ -25,6 +25,7 @@ from tpugan.io.images import save_image
 from tpugan.losses import l1, mse
 from tpugan.models._common import apply_mod, init_module
 from tpugan.models._im2im_common import (
+    StepObserver,
     EtaLogger,
     checkpoint_epoch,
     maybe_resume,
@@ -32,6 +33,7 @@ from tpugan.models._im2im_common import (
 )
 from tpugan.nn.im2im import PatchGAN, UNetDown, UNetUp, zero_pad_lt
 from tpugan.nn.layers import Conv, Upsample
+from tpugan.parallel import auto_sharding, replicate_for
 from tpugan.train.optim import adam_torch
 from tpugan.train.state import TrainState, normalize_uint8
 from tpugan.utils.config import BaseConfig, config_from_args, flag
@@ -249,7 +251,10 @@ def make_sampler(cfg: Config, modules):
 def run(cfg: Config):
     modules = build(cfg)
     state = maybe_resume(create_state(cfg, modules), cfg, MODULES)
-    loader = make_loader(cfg)
+    sharding = auto_sharding(cfg.batch_size)
+    loader = make_loader(cfg, sharding=sharding)
+    state = replicate_for(sharding, state)
+    observer = StepObserver(cfg)
     step = jax.jit(make_step(cfg, modules), donate_argnums=0)
     sample = make_sampler(cfg, modules)
     eta = EtaLogger(cfg.n_epochs)
@@ -263,6 +268,7 @@ def run(cfg: Config):
                 break
             state, out = step(state, *batch)
             batches_done = epoch * bpe + i
+            observer.observe(batches_done, out)
             if cfg.log_interval > 0 and i % cfg.log_interval == 0:
                 eta.line(
                     epoch, i, bpe,
@@ -276,6 +282,7 @@ def run(cfg: Config):
             if cfg.sample_interval > 0 and batches_done % cfg.sample_interval == 0:
                 sample(state, out, batches_done)
         checkpoint_epoch(state, cfg, epoch, MODULES)
+    observer.close()
     return state
 
 

@@ -26,6 +26,7 @@ from tpugan.io.images import save_image
 from tpugan.losses import l1
 from tpugan.models._common import apply_mod, init_module
 from tpugan.models._im2im_common import (
+    StepObserver,
     EtaLogger,
     checkpoint_epoch,
     maybe_resume,
@@ -34,6 +35,7 @@ from tpugan.models._im2im_common import (
 from tpugan.nn.im2im import PatchGAN, UNetDown, UNetUp
 from tpugan.nn.layers import ConvTranspose
 from tpugan.ops.penalty import wgan_gp_penalty
+from tpugan.parallel import auto_sharding, replicate_for
 from tpugan.train.optim import adam_torch
 from tpugan.train.state import TrainState, normalize_uint8
 from tpugan.utils.config import BaseConfig, config_from_args, flag
@@ -295,7 +297,10 @@ def make_sampler(cfg: Config, modules):
 def run(cfg: Config):
     modules = build(cfg)
     state = maybe_resume(create_state(cfg, modules), cfg, MODULES)
-    loader = make_loader(cfg)
+    sharding = auto_sharding(cfg.batch_size)
+    loader = make_loader(cfg, sharding=sharding)
+    state = replicate_for(sharding, state)
+    observer = StepObserver(cfg)
     d_step, g_step = make_steps(cfg, modules)
     d_step = jax.jit(d_step)
     g_step = jax.jit(g_step)
@@ -305,13 +310,14 @@ def run(cfg: Config):
     bpe = len(loader)
     if cfg.max_batches >= 0:
         bpe = min(bpe, cfg.max_batches)
-    batches_done = 0
+    batches_done = cfg.epoch * bpe
     g_out = {"g_adv": float("nan"), "g_cycle": float("nan")}
-    for epoch in range(cfg.n_epochs):
+    for epoch in range(cfg.epoch, cfg.n_epochs):
         for i, batch in enumerate(loader.epoch(epoch)):
             if cfg.max_batches >= 0 and i >= cfg.max_batches:
                 break
             state, out = d_step(state, *batch)
+            observer.observe(batches_done, out)
             if i % cfg.n_critic == 0:
                 state, g_out = g_step(state, *batch)
                 if cfg.log_interval > 0:
@@ -327,6 +333,7 @@ def run(cfg: Config):
                 sample(state, out, batches_done)
             batches_done += 1
         checkpoint_epoch(state, cfg, epoch, MODULES)
+    observer.close()
     return state
 
 

@@ -34,6 +34,7 @@ from tpugan.io.checkpoint import load_modules, load_pytree, save_modules
 from tpugan.io.images import save_image
 from tpugan.losses import bce_with_logits, l1
 from tpugan.models._common import apply_mod, init_module
+from tpugan.models._im2im_common import StepObserver
 from tpugan.models.srgan import prepare_lr_hr
 from tpugan.nn.sr import ESRGANGenerator, SRDiscriminator
 from tpugan.nn.vgg import (
@@ -42,6 +43,7 @@ from tpugan.nn.vgg import (
     imagenet_normalize,
     load_vgg19_npz,
 )
+from tpugan.parallel import auto_sharding, replicate_for
 from tpugan.train.optim import adam_torch
 from tpugan.train.state import TrainState
 from tpugan.utils.config import BaseConfig, config_from_args, flag
@@ -254,7 +256,10 @@ def run(cfg: Config):
             ckptdir, cfg.epoch,
         )
         state = state.replace(params={**state.params, **loaded})
-    loader = make_loader(cfg)
+    sharding = auto_sharding(cfg.batch_size)
+    loader = make_loader(cfg, sharding=sharding)
+    state = replicate_for(sharding, state)
+    observer = StepObserver(cfg)
     warmup_step, full_step = make_steps(cfg, modules)
     warmup_step = jax.jit(warmup_step)
     full_step = jax.jit(full_step)
@@ -269,6 +274,7 @@ def run(cfg: Config):
             batches_done = epoch * bpe + i
             if batches_done < cfg.warmup_batches:
                 state, out = warmup_step(state, *batch)
+                observer.observe(batches_done, out)
                 if cfg.log_interval > 0 and i % cfg.log_interval == 0:
                     print(
                         "[Epoch %d/%d] [Batch %d/%d] [G pixel: %f]"
@@ -279,6 +285,7 @@ def run(cfg: Config):
                     )
                 continue
             state, out = full_step(state, *batch)
+            observer.observe(batches_done, out)
             if cfg.log_interval > 0 and i % cfg.log_interval == 0:
                 print(
                     "[Epoch %d/%d] [Batch %d/%d] [D loss: %f] "
@@ -315,6 +322,7 @@ def run(cfg: Config):
                     },
                     ckptdir, epoch,
                 )
+    observer.close()
     return state
 
 

@@ -30,6 +30,7 @@ from tpugan.io.images import save_image
 from tpugan.losses import l1
 from tpugan.models._common import apply_mod, init_module
 from tpugan.models._im2im_common import (
+    StepObserver,
     EtaLogger,
     checkpoint_epoch,
     maybe_resume,
@@ -42,6 +43,7 @@ from tpugan.nn.style import (
     StyleEncoder,
     multi_d_loss,
 )
+from tpugan.parallel import auto_sharding, replicate_for
 from tpugan.train.optim import adam_torch, linear_decay_schedule
 from tpugan.train.state import TrainState, normalize_uint8
 from tpugan.utils.config import BaseConfig, config_from_args, flag
@@ -303,13 +305,16 @@ def make_sampler(cfg: Config, modules):
 
 def run(cfg: Config):
     modules = build(cfg)
-    loader = make_loader(cfg)
+    sharding = auto_sharding(cfg.batch_size)
+    loader = make_loader(cfg, sharding=sharding)
     bpe = len(loader)
     if cfg.max_batches >= 0:
         bpe = min(bpe, cfg.max_batches)
     state = maybe_resume(
         create_state(cfg, modules, steps_per_epoch=bpe), cfg, MODULES
     )
+    state = replicate_for(sharding, state)
+    observer = StepObserver(cfg)
     step = jax.jit(make_step(cfg, modules, steps_per_epoch=bpe), donate_argnums=0)
     sample = make_sampler(cfg, modules)
     eta = EtaLogger(cfg.n_epochs)
@@ -320,6 +325,7 @@ def run(cfg: Config):
                 break
             state, out = step(state, *batch)
             batches_done = epoch * bpe + i
+            observer.observe(batches_done, out)
             if cfg.log_interval > 0 and i % cfg.log_interval == 0:
                 eta.line(
                     epoch, i, bpe,
@@ -329,6 +335,7 @@ def run(cfg: Config):
             if cfg.sample_interval > 0 and batches_done % cfg.sample_interval == 0:
                 sample(state, out, batches_done)
         checkpoint_epoch(state, cfg, epoch, MODULES)
+    observer.close()
     return state
 
 

@@ -34,10 +34,12 @@ from tpugan.data.im2im import celeba_images_or_synthetic
 from tpugan.io.checkpoint import load_modules, save_modules
 from tpugan.io.images import make_grid, save_image
 from tpugan.losses import l1, mse
+from tpugan.models._im2im_common import StepObserver
 from tpugan.models._common import apply_mod, init_module
 from tpugan.nn.sr import SRDiscriminator, SRGANGenerator
 from tpugan.nn.vgg import VGG19Features, imagenet_normalize, load_vgg19_npz
 from tpugan.ops.image import upsample_nearest
+from tpugan.parallel import auto_sharding, replicate_for
 from tpugan.train.optim import adam_torch
 from tpugan.train.state import TrainState
 from tpugan.utils.config import BaseConfig, config_from_args, flag
@@ -243,7 +245,10 @@ def run(cfg: Config):
             ckptdir, cfg.epoch,
         )
         state = state.replace(params={**state.params, **loaded})
-    loader = make_loader(cfg)
+    sharding = auto_sharding(cfg.batch_size)
+    loader = make_loader(cfg, sharding=sharding)
+    state = replicate_for(sharding, state)
+    observer = StepObserver(cfg)
     step = jax.jit(make_step(cfg, modules), donate_argnums=0)
 
     bpe = len(loader)
@@ -264,6 +269,7 @@ def run(cfg: Config):
                 )
                 sys.stdout.flush()
             batches_done = epoch * bpe + i
+            observer.observe(batches_done, out)
             if cfg.sample_interval > 0 and batches_done % cfg.sample_interval == 0:
                 save_sr_sample(cfg, out, batches_done)
         if cfg.checkpoint_interval != -1 and epoch % cfg.checkpoint_interval == 0:
@@ -272,6 +278,7 @@ def run(cfg: Config):
                 {n: state.params[n] for n in ("generator", "discriminator")},
                 ckptdir, epoch,
             )
+    observer.close()
     return state
 
 

@@ -36,7 +36,9 @@ from tpugan.io.images import save_image
 from tpugan.losses import l1
 from tpugan.models._common import apply_mod, init_module
 from tpugan.nn.layers import Conv, ConvTranspose, InstanceNorm, leaky_relu
+from tpugan.models._im2im_common import StepObserver
 from tpugan.ops.penalty import wgan_gp_penalty
+from tpugan.parallel import auto_sharding, replicate_for
 from tpugan.train.optim import adam_torch
 from tpugan.train.state import TrainState, normalize_uint8
 from tpugan.utils.config import BaseConfig, config_from_args, flag
@@ -382,7 +384,10 @@ def run(cfg: Config):
             ckptdir, cfg.epoch,
         )
         state = state.replace(params={**state.params, **loaded})
-    loader = make_loader(cfg)
+    sharding = auto_sharding(cfg.batch_size)
+    loader = make_loader(cfg, sharding=sharding)
+    state = replicate_for(sharding, state)
+    observer = StepObserver(cfg)
     d_step, g_step = make_steps(cfg, modules)
     d_step = jax.jit(d_step)
     g_step = jax.jit(g_step)
@@ -397,6 +402,7 @@ def run(cfg: Config):
             if cfg.max_batches >= 0 and i >= cfg.max_batches:
                 break
             state, d_out = d_step(state, *batch)
+            observer.observe(epoch * bpe + i, d_out)
             if i % cfg.n_critic == 0:
                 state, g_out = g_step(state, *batch, d_out["sampled_c"])
                 batches_done = epoch * bpe + i
@@ -437,6 +443,7 @@ def run(cfg: Config):
                 {n: state.params[n] for n in ("generator", "discriminator")},
                 ckptdir, epoch,
             )
+    observer.close()
     return state
 
 

@@ -27,17 +27,16 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from tpugan.data import DeviceLoader
+from tpugan.data import UnpairedLoader
 from tpugan.data.im2im import (
-    compose_transforms,
     resize_crop_flip_transform,
     unpaired_or_synthetic,
-    unpaired_shuffle_transform,
 )
 from tpugan.io.images import save_image
 from tpugan.losses import l1, mse
 from tpugan.models._common import apply_mod, init_module
 from tpugan.models._im2im_common import (
+    StepObserver,
     EtaLogger,
     checkpoint_epoch,
     maybe_resume,
@@ -45,6 +44,7 @@ from tpugan.models._im2im_common import (
 )
 from tpugan.nn.im2im import ResidualBlockIN, reflection_pad
 from tpugan.nn.layers import Conv, ConvTranspose, InstanceNorm, leaky_relu
+from tpugan.parallel import auto_sharding, replicate_for
 from tpugan.train.optim import adam_torch, linear_decay_schedule
 from tpugan.train.state import TrainState, normalize_uint8
 from tpugan.utils.config import BaseConfig, config_from_args, flag
@@ -305,17 +305,20 @@ def make_loader(cfg: Config, split="train", batch_size=None, sharding=None):
             "[tpugan] dataset %r not found on disk — using synthetic domains"
             % cfg.dataset_name
         )
-    n = min(len(a), len(b))
-    transform = compose_transforms(
-        unpaired_shuffle_transform(cfg.seed, index=1),
+    # Jitter on the train split only (the reference applies the same
+    # transforms_ to both, unit.py:126-147, but its test sheets come from
+    # PIL-cropped val files; plain resized images here match the intent of
+    # a test sheet — deviation documented).
+    transform = (
         resize_crop_flip_transform(
             cfg.seed, cfg.img_height, cfg.img_width, indices=(0, 1)
-        ),
+        )
+        if split == "train"
+        else None
     )
-    return DeviceLoader(
-        [a[:n], b[:n]],
+    return UnpairedLoader(
+        a, b,
         batch_size or cfg.batch_size,
-        shuffle=True,
         seed=cfg.seed if split == "train" else cfg.seed + 991,
         sharding=sharding,
         host_transform=transform,
@@ -354,13 +357,16 @@ def make_sampler(cfg: Config, modules):
 
 def run(cfg: Config):
     modules = build(cfg)
-    loader = make_loader(cfg)
+    sharding = auto_sharding(cfg.batch_size)
+    loader = make_loader(cfg, sharding=sharding)
     bpe = len(loader)
     if cfg.max_batches >= 0:
         bpe = min(bpe, cfg.max_batches)
     state = maybe_resume(
         create_state(cfg, modules, steps_per_epoch=bpe), cfg, MODULES
     )
+    state = replicate_for(sharding, state)
+    observer = StepObserver(cfg)
     step = jax.jit(make_step(cfg, modules, steps_per_epoch=bpe), donate_argnums=0)
     sample = make_sampler(cfg, modules)
     eta = EtaLogger(cfg.n_epochs)
@@ -371,6 +377,7 @@ def run(cfg: Config):
                 break
             state, out = step(state, *batch)
             batches_done = epoch * bpe + i
+            observer.observe(batches_done, out)
             if cfg.log_interval > 0 and i % cfg.log_interval == 0:
                 eta.line(
                     epoch, i, bpe,
@@ -380,6 +387,7 @@ def run(cfg: Config):
             if cfg.sample_interval > 0 and batches_done % cfg.sample_interval == 0:
                 sample(state, out, batches_done)
         checkpoint_epoch(state, cfg, epoch, MODULES)
+    observer.close()
     return state
 
 

@@ -1,6 +1,9 @@
 from tpugan.parallel.mesh import (  # noqa: F401
-    data_mesh,
+    auto_data_parallel,
+    auto_sharding,
+    replicate_for,
     batch_sharding,
+    data_mesh,
     replicated_sharding,
     shard_state,
 )
