@@ -57,6 +57,13 @@ def _weight_init(mode: str, fan_in: int):
         return torch_kaiming_uniform(fan_in)
     if mode in ("normal02", "normal02zero"):
         return normal_init(0.0, 0.02)
+    if mode == "he":
+        # kaiming-normal relu gain on fan_in: preserves activation variance
+        # through deep ReLU stacks (used by the random-feature VGG fallback;
+        # torch-default U(1/sqrt(fan_in)) decays activations ~0.6x/layer).
+        from tpugan.ops.init import kaiming_normal_fan_out
+
+        return kaiming_normal_fan_out(fan_in)
     raise ValueError(f"unknown init_mode {mode!r}")
 
 

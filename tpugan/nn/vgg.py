@@ -11,10 +11,12 @@ weights; this environment has no network egress and no torchvision, so:
   (arrays ``conv<i>_kernel`` (HWIO) / ``conv<i>_bias``, i = torch feature
   index — convert once from a torchvision checkpoint with
   scripts/convert_vgg19.py);
-- otherwise the extractor keeps its torch-default random init with a
-  one-time warning. A fixed random VGG is still a usable perceptual metric
-  (random-feature perceptual losses are well studied); FID-grade parity
-  requires dropping in the converted weights.
+- otherwise the extractor uses He (kaiming-normal, relu gain) random init —
+  NOT the torch default, whose tiny uniform weights make activations vanish
+  by conv5 and the features non-discriminative. A fixed He-initialized
+  random VGG is a usable perceptual metric (random-feature perceptual
+  losses are well studied); FID-grade parity still requires dropping in the
+  converted pretrained weights.
 """
 
 from __future__ import annotations
@@ -42,6 +44,7 @@ class VGG19Features(nn.Module):
     when the cut lands exactly on a conv index, matching Sequential[:cut])."""
 
     cut: int  # 18 for srgan, 35 for esrgan
+    init_mode: str = "he"  # random-feature fallback; npz weights override
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -52,7 +55,7 @@ class VGG19Features(nn.Module):
             if spec == "M":
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
                 continue
-            x = Conv(spec, 3, 1, 1, init_mode="torch", name=f"conv{idx}")(x)
+            x = Conv(spec, 3, 1, 1, init_mode=self.init_mode, name=f"conv{idx}")(x)
             if idx + 1 < self.cut:  # the ReLU at torch index idx+1
                 x = nn.relu(x)
         return x
