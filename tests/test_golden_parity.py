@@ -255,6 +255,97 @@ def test_pix2pix_unet_forward_golden():
     np.testing.assert_allclose(np.asarray(ours), theirs, atol=5e-5)
 
 
+def test_ebgan_discriminator_forward_golden():
+    """Autoencoder D with the flatten->Linear->unflatten roundtrip
+    (ebgan.py:74-101) — validates torch view() element order end to end.
+    Eval mode so BatchNorm uses (0,1) running stats on both sides."""
+    import torch.nn as nn
+
+    from tpugan.models import ebgan
+
+    cfg = ebgan.Config(img_size=32, channels=1)
+    D = ebgan.build(cfg)["discriminator"]
+    x = jnp.asarray(
+        np.random.default_rng(7).normal(0, 1, (3, 32, 32, 1)), jnp.float32
+    )
+    params, bs = init_module(D, jax.random.PRNGKey(10), x, train=True)
+
+    class TD(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.down = nn.Sequential(nn.Conv2d(1, 64, 3, 2, 1), nn.ReLU())
+            down_dim = 64 * 16 * 16
+            self.embedding = nn.Linear(down_dim, 32)
+            self.fc = nn.Sequential(
+                nn.BatchNorm1d(32, 0.8),
+                nn.ReLU(inplace=True),
+                nn.Linear(32, down_dim),
+                nn.BatchNorm1d(down_dim),
+                nn.ReLU(inplace=True),
+            )
+            self.up = nn.Sequential(
+                nn.Upsample(scale_factor=2), nn.Conv2d(64, 1, 3, 1, 1)
+            )
+
+        def forward(self, img):
+            out = self.down(img)
+            embedding = self.embedding(out.view(out.size(0), -1))
+            out = self.fc(embedding)
+            out = self.up(out.view(out.size(0), 64, 16, 16))
+            return out, embedding
+
+    td = TD().eval()
+    _copy_conv(td.down[0], params["Conv_0"])
+    _copy_linear(td.embedding, params["Linear_0"])
+    _copy_linear(td.fc[2], params["Linear_1"])
+    _copy_conv(td.up[1], params["Conv_1"])
+
+    ours, _ = apply_mod(D, params, bs, x, train=False)
+    with torch.no_grad():
+        recon_t, emb_t = td(_nhwc(x))
+    np.testing.assert_allclose(
+        np.asarray(ours[1]), emb_t.numpy(), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours[0]), _to_np(recon_t), atol=2e-5
+    )
+
+
+def test_gan_mlp_generator_forward_golden():
+    """Template-A MLP G (gan/gan.py:38-61), eval mode, multichannel view
+    order."""
+    import torch.nn as nn
+
+    from tpugan.nn.blocks import MLPGenerator
+
+    G = MLPGenerator(img_shape=(14, 14, 3))
+    z = jnp.asarray(np.random.default_rng(8).normal(0, 1, (4, 100)), jnp.float32)
+    params, bs = init_module(G, jax.random.PRNGKey(11), z, train=True)
+
+    layers = []
+    widths = [100, 128, 256, 512, 1024]
+    tls = []
+    for i in range(4):
+        lin = nn.Linear(widths[i], widths[i + 1])
+        tls.append(lin)
+        layers.append(lin)
+        if i > 0:
+            layers.append(nn.BatchNorm1d(widths[i + 1], 0.8))
+        layers.append(nn.LeakyReLU(0.2))
+    out_lin = nn.Linear(1024, 14 * 14 * 3)
+    tls.append(out_lin)
+    layers += [out_lin, nn.Tanh()]
+    tg = nn.Sequential(*layers).eval()
+    for i, tl in enumerate(tls):
+        _copy_linear(tl, params[f"Linear_{i}"])
+
+    ours, _ = apply_mod(G, params, bs, z, train=False)
+    with torch.no_grad():
+        flat = tg(torch.from_numpy(np.asarray(z)))
+        theirs = flat.view(4, 3, 14, 14).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=2e-5)
+
+
 def test_dcgan_generator_forward_golden():
     """Template-B conv G vs the reference dcgan Generator (BatchNorm train
     mode with batch stats — the MNIST-family workhorse)."""
