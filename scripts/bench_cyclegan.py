@@ -56,7 +56,10 @@ def main() -> None:
     n1, n2 = max(STEPS // 4, 1), STEPS
     t1 = timed(n1)
     t2 = timed(n2)
-    ips = (n2 - n1) * BATCH / max(t2 - t1, 1e-9)
+    if t2 - t1 > 0.2 * t2:
+        ips = (n2 - n1) * BATCH / (t2 - t1)
+    else:  # load transition between runs — use the conservative direct rate
+        ips = n2 * BATCH / t2
     print(
         json.dumps(
             {

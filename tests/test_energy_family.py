@@ -88,6 +88,7 @@ def test_softmax_gan_gradient_accumulation_parity():
     assert sum(norms) > 0  # d_loss really does flow into G
 
 
+@pytest.mark.slow
 def test_relativistic_quirk_flag_changes_g_loss():
     imgs, labels = _batch()
     outs = {}

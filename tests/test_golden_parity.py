@@ -230,6 +230,7 @@ def test_clustergan_generator_forward_golden():
     np.testing.assert_allclose(np.asarray(ours), theirs, atol=3e-5)
 
 
+@pytest.mark.slow
 def test_pix2pix_unet_forward_golden():
     """8-down/7-up U-Net with ConvTranspose ups and the ZeroPad final
     (dropout off: torch .eval() vs train=False)."""

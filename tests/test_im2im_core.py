@@ -4,6 +4,7 @@ paired/unpaired data transforms."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tpugan.data.im2im import (
     joint_hflip_transform,
@@ -60,6 +61,7 @@ def test_synthetic_scene_pairs_are_correlated():
     assert same > cross
 
 
+@pytest.mark.slow
 def test_cyclegan_step_runs_finite():
     cfg = cyclegan.Config(
         batch_size=2, img_height=64, img_width=64, n_residual_blocks=1,
@@ -93,6 +95,7 @@ def test_cyclegan_lr_decays_after_decay_epoch():
     assert abs(float(sched(19)) - 0.1 * (1 - 4 / 5)) < 1e-6  # epoch 9
 
 
+@pytest.mark.slow
 def test_pix2pix_step_runs_finite_256():
     cfg = pix2pix.Config(batch_size=1, synthetic_data=True)
     modules = pix2pix.build(cfg)

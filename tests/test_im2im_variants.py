@@ -32,6 +32,7 @@ def test_discogan_step_and_param_parity():
         assert np.isfinite(float(out[k])), k
 
 
+@pytest.mark.slow
 def test_dualgan_steps_and_param_parity():
     # 128px: the 7-down U-Net bottlenecks at 1x1 (128/2^7) — 64px collapses.
     cfg = dualgan.Config(batch_size=2, img_size=128, synthetic_data=True)
@@ -90,6 +91,7 @@ def test_stargan_criterion_cls_matches_sum_over_batch():
     assert abs(float(stargan.criterion_cls(logit, target)) - float(total) / 2) < 1e-5
 
 
+@pytest.mark.slow
 def test_unit_step_weight_sharing_and_param_parity():
     cfg = unit.Config(
         batch_size=1, img_height=64, img_width=64, synthetic_data=True

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tpugan.models import ccgan, context_encoder
 
@@ -11,6 +12,7 @@ def _count(tree):
     return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(tree))
 
 
+@pytest.mark.slow
 def test_context_encoder_step_and_param_parity():
     cfg = context_encoder.Config(batch_size=2, synthetic_data=True)
     modules = context_encoder.build(cfg)
@@ -52,6 +54,7 @@ def test_context_encoder_generator_outputs_mask_patch():
     assert y.shape == (1, 64, 64, 3)
 
 
+@pytest.mark.slow
 def test_ccgan_step_and_param_parity():
     cfg = ccgan.Config(batch_size=2, synthetic_data=True)
     modules = ccgan.build(cfg)

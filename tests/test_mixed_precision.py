@@ -16,6 +16,7 @@ def bf16():
     set_default_compute_dtype(None)
 
 
+@pytest.mark.slow
 def test_dcgan_step_bf16_finite(bf16):
     from tpugan.models import dcgan
 
@@ -39,6 +40,7 @@ def test_dcgan_step_bf16_finite(bf16):
     assert out["d_loss"].dtype == jnp.float32
 
 
+@pytest.mark.slow
 def test_cyclegan_step_bf16_finite(bf16):
     from tpugan.models import cyclegan
 

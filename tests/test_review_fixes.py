@@ -3,6 +3,7 @@
 import json
 
 import numpy as np
+import pytest
 
 from tpugan.data import UnpairedLoader
 
@@ -84,6 +85,7 @@ def test_eta_logger_scales_by_log_interval(monkeypatch, capsys):
     assert "0:00:50" in out, out
 
 
+@pytest.mark.slow
 def test_custom_loop_metrics_jsonl(tmp_path):
     """--metrics_jsonl works in the hand-rolled im2im loops (StepObserver)."""
     from tpugan.models import discogan

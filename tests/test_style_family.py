@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tpugan.models import bicyclegan, munit
 from tpugan.nn.style import adain, multi_d_loss
@@ -30,6 +31,7 @@ def test_adain_normalizes_then_styles():
     assert np.allclose(s, 2.0, atol=1e-2)
 
 
+@pytest.mark.slow
 def test_munit_step_and_param_parity():
     cfg = munit.Config(
         batch_size=1, img_height=64, img_width=64, synthetic_data=True
@@ -78,6 +80,7 @@ def test_multi_d_returns_three_scales():
     assert np.isfinite(float(multi_d_loss(outs, 1.0)))
 
 
+@pytest.mark.slow
 def test_bicyclegan_step_and_param_parity():
     cfg = bicyclegan.Config(
         batch_size=2, img_height=128, img_width=128, synthetic_data=True

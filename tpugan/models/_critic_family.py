@@ -181,9 +181,11 @@ def run_critic_family(cfg, modules, state, d_step, g_step, sample_inside_gstep: 
             if cfg.max_batches >= 0 and i >= cfg.max_batches:
                 break
             state, d_out = jd(state, *batch)
-            observer.observe(epoch * bpe + i, d_out)
-            if i % cfg.n_critic == 0:
+            if i % cfg.n_critic != 0:
+                observer.observe(epoch * bpe + i, d_out)
+            else:
                 state, g_out = jg(state, d_out["z"])
+                observer.observe(epoch * bpe + i, {**d_out, **g_out})
                 last_gen = g_out["gen_imgs"]
                 if cfg.log_interval > 0 and i % cfg.log_interval == 0:
                     print(

@@ -14,50 +14,9 @@ import os
 import sys
 import time
 
-import jax
-
 from tpugan.io.checkpoint import load_modules, save_modules
-
-
-class StepObserver:
-    """Wires the BaseConfig observability features (--metrics_jsonl,
-    --profile_dir/--profile_steps, --debug_numerics) into the hand-rolled
-    im2im training loops — same semantics as tpugan.train.loop's runner."""
-
-    def __init__(self, cfg):
-        from tpugan.train.loop import MetricsSink
-
-        self.sink = (
-            MetricsSink(cfg.metrics_jsonl)
-            if getattr(cfg, "metrics_jsonl", "")
-            else None
-        )
-        self.profile_dir = getattr(cfg, "profile_dir", "")
-        self.profile_steps = getattr(cfg, "profile_steps", 5)
-        self._profiling = False
-        if getattr(cfg, "debug_numerics", False):
-            jax.config.update("jax_debug_nans", True)
-
-    def observe(self, batches_done: int, out: dict) -> None:
-        if self.profile_dir and batches_done == 1 and not self._profiling:
-            jax.profiler.start_trace(self.profile_dir)
-            self._profiling = True
-        if (
-            self._profiling
-            and batches_done >= 1 + self.profile_steps
-        ):
-            jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
-            jax.profiler.stop_trace()
-            self._profiling = False
-        if self.sink is not None:
-            self.sink.write(batches_done, out)
-
-    def close(self) -> None:
-        if self._profiling:
-            jax.profiler.stop_trace()
-            self._profiling = False
-        if self.sink is not None:
-            self.sink.close()
+from tpugan.train.loop import StepObserver  # noqa: F401 — shared by the
+# hand-rolled im2im loops (re-export keeps their import site stable).
 
 
 class EtaLogger:

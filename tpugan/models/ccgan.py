@@ -263,8 +263,7 @@ def run(cfg: Config):
         )
 
     def sample(state, out, batches_done):
-        if not saved_samples:  # sample() can fire before the first log call
-            _accumulate(out)
+        _accumulate(out, batches_done)
         gen = gen_preview(
             state.params["generator"], state.model_state["generator"],
             jnp.asarray(saved_samples["masked"]),
@@ -281,21 +280,28 @@ def run(cfg: Config):
             nrow=5, normalize=True,
         )
 
-    def _accumulate(out):
-        # First sample of each of the first ten batches (ccgan.py:158-166).
+    seen_steps = set()
+
+    def _accumulate(out, batches_done):
+        # First sample of each of the first ten batches (ccgan.py:158-166);
+        # idempotent per step so the log and sample callbacks can both call
+        # it without double-adding.
         import numpy as np
 
+        if batches_done in seen_steps or len(seen_steps) >= 10:
+            return
+        seen_steps.add(batches_done)
         if not saved_samples:
             for k in ("imgs", "masked", "lowres"):
                 saved_samples[k] = np.asarray(jax.device_get(out[k][:1]))
-        elif len(saved_samples["imgs"]) < 10:
+        else:
             for k in ("imgs", "masked", "lowres"):
                 saved_samples[k] = np.concatenate(
                     [saved_samples[k], np.asarray(jax.device_get(out[k][:1]))]
                 )
 
     def log_and_accumulate(epoch, i, bpe, out):
-        _accumulate(out)
+        _accumulate(out, epoch * bpe + i)
         log(epoch, i, bpe, out)
 
     return run_training(

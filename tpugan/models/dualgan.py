@@ -317,9 +317,11 @@ def run(cfg: Config):
             if cfg.max_batches >= 0 and i >= cfg.max_batches:
                 break
             state, out = d_step(state, *batch)
-            observer.observe(batches_done, out)
-            if i % cfg.n_critic == 0:
+            if i % cfg.n_critic != 0:
+                observer.observe(batches_done, out)
+            else:
                 state, g_out = g_step(state, *batch)
+                observer.observe(batches_done, {**out, **g_out})
                 if cfg.log_interval > 0:
                     eta.line(
                         epoch, i, bpe,

@@ -402,9 +402,11 @@ def run(cfg: Config):
             if cfg.max_batches >= 0 and i >= cfg.max_batches:
                 break
             state, d_out = d_step(state, *batch)
-            observer.observe(epoch * bpe + i, d_out)
-            if i % cfg.n_critic == 0:
+            if i % cfg.n_critic != 0:
+                observer.observe(epoch * bpe + i, d_out)
+            else:
                 state, g_out = g_step(state, *batch, d_out["sampled_c"])
+                observer.observe(epoch * bpe + i, {**d_out, **g_out})
                 batches_done = epoch * bpe + i
                 batches_left = cfg.n_epochs * bpe - batches_done
                 time_left = datetime.timedelta(

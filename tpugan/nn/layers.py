@@ -61,9 +61,9 @@ def _weight_init(mode: str, fan_in: int):
         # kaiming-normal relu gain on fan_in: preserves activation variance
         # through deep ReLU stacks (used by the random-feature VGG fallback;
         # torch-default U(1/sqrt(fan_in)) decays activations ~0.6x/layer).
-        from tpugan.ops.init import kaiming_normal_fan_out
+        from tpugan.ops.init import kaiming_normal
 
-        return kaiming_normal_fan_out(fan_in)
+        return kaiming_normal(fan_in)
     raise ValueError(f"unknown init_mode {mode!r}")
 
 

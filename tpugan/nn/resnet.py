@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import flax.linen as nn
 
-from tpugan.ops.init import kaiming_normal_fan_out
+from tpugan.ops.init import kaiming_normal
 
 
 def _conv(features, kernel, stride, padding):
@@ -24,7 +24,7 @@ def _conv(features, kernel, stride, padding):
         strides=(stride, stride),
         padding=[(padding, padding)] * 2,
         use_bias=False,
-        kernel_init=kaiming_normal_fan_out(fan_out),
+        kernel_init=kaiming_normal(fan_out),
     )
 
 

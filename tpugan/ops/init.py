@@ -57,12 +57,14 @@ def normal_init(mean: float = 0.0, std: float = 0.02):
     return init
 
 
-def kaiming_normal_fan_out(fan_out: int):
-    """torchvision ResNet conv init: kaiming_normal_(mode='fan_out',
-    nonlinearity='relu') == N(0, sqrt(2/fan_out))."""
+def kaiming_normal(fan: int):
+    """N(0, sqrt(2/fan)) — kaiming-normal with relu gain. Pass fan_out for
+    torchvision-ResNet parity (kaiming_normal_(mode='fan_out')) or fan_in
+    for activation-variance-preserving init of forward passes (the "he"
+    init_mode of tpugan.nn.layers)."""
 
     def init(key, shape, dtype=jnp.float32):
-        std = math.sqrt(2.0 / max(fan_out, 1))
+        std = math.sqrt(2.0 / max(fan, 1))
         return std * jax.random.normal(key, shape, dtype)
 
     return init

@@ -1,5 +1,4 @@
 from tpugan.parallel.mesh import (  # noqa: F401
-    auto_data_parallel,
     auto_sharding,
     replicate_for,
     batch_sharding,

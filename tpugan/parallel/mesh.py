@@ -45,18 +45,6 @@ def shard_state(state, mesh: Mesh):
     return jax.device_put(state, replicated_sharding(mesh))
 
 
-def auto_data_parallel(state, batch_size: int):
-    """CLI auto-DP: when >1 device is visible and the batch divides evenly,
-    replicate the state over the full mesh and return the batch sharding for
-    the loader; otherwise leave everything single-device. Global batch
-    semantics are unchanged (tests/test_parallel.py)."""
-    n = jax.device_count()
-    if n <= 1 or batch_size % n != 0:
-        return state, None
-    mesh = data_mesh()
-    print("[tpugan] data-parallel over %d devices" % n)
-    return shard_state(state, mesh), batch_sharding(mesh)
-
 
 def auto_sharding(batch_size: int):
     """Batch sharding over the full mesh when CLI auto-DP applies, else
@@ -71,7 +59,5 @@ def replicate_for(sharding, state):
     """Replicate a TrainState over the mesh the batch sharding lives on."""
     if sharding is None:
         return state
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
     print("[tpugan] data-parallel over %d devices" % jax.device_count())
-    return jax.device_put(state, NamedSharding(sharding.mesh, P()))
+    return jax.device_put(state, replicated_sharding(sharding.mesh))

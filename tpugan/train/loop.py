@@ -40,6 +40,46 @@ class MetricsSink:
         self._fh.close()
 
 
+class StepObserver:
+    """Wires the BaseConfig observability flags (--metrics_jsonl,
+    --profile_dir/--profile_steps, --debug_numerics) into a training loop.
+    Profiling is call-count based (trace covers observed steps [1, 1+N)),
+    so it works on resumed runs where batches_done starts high."""
+
+    def __init__(self, cfg):
+        self.sink = (
+            MetricsSink(cfg.metrics_jsonl)
+            if getattr(cfg, "metrics_jsonl", "")
+            else None
+        )
+        self.profile_dir = getattr(cfg, "profile_dir", "")
+        self.profile_steps = getattr(cfg, "profile_steps", 5)
+        self._profiling = False
+        self._calls = 0
+        if getattr(cfg, "debug_numerics", False):
+            jax.config.update("jax_debug_nans", True)
+
+    def observe(self, batches_done: int, out: dict) -> None:
+        # Skip call 0 (holds the compile); trace calls [1, 1+N).
+        if self.profile_dir and self._calls == 1 and not self._profiling:
+            jax.profiler.start_trace(self.profile_dir)
+            self._profiling = True
+        if self._profiling and self._calls >= 1 + self.profile_steps:
+            jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+            jax.profiler.stop_trace()
+            self._profiling = False
+        if self.sink is not None:
+            self.sink.write(batches_done, out)
+        self._calls += 1
+
+    def close(self) -> None:
+        if self._profiling:
+            jax.profiler.stop_trace()
+            self._profiling = False
+        if self.sink is not None:
+            self.sink.close()
+
+
 @dataclasses.dataclass
 class Callbacks:
     # log(epoch, batch_idx, batches_per_epoch, out_dict)
@@ -64,37 +104,17 @@ def run_training(
     bpe = len(loader)
     if cfg.max_batches >= 0:
         bpe = min(bpe, cfg.max_batches)
-    if getattr(cfg, "debug_numerics", False):
-        jax.config.update("jax_debug_nans", True)
     step = jax.jit(step_fn, donate_argnums=0) if jit else step_fn
-    sink = (
-        MetricsSink(cfg.metrics_jsonl)
-        if getattr(cfg, "metrics_jsonl", "")
-        else None
-    )
-    profile_dir = getattr(cfg, "profile_dir", "")
-    profile_steps = getattr(cfg, "profile_steps", 5)
-    profiling = False
+    observer = StepObserver(cfg)
     for epoch in range(start_epoch, n_epochs):
         for i, batch in enumerate(loader.epoch(epoch)):
             if cfg.max_batches >= 0 and i >= cfg.max_batches:
                 break
             batches_done = epoch * bpe + i
-            # Trace steps [2, 2+N): skip compile + first dispatch.
-            if profile_dir and batches_done == 2 and not profiling:
-                jax.profiler.start_trace(profile_dir)
-                profiling = True
             state, out = step(state, *batch)
-            if profiling and batches_done >= 2 + profile_steps - 1:
-                jax.block_until_ready(
-                    jax.tree_util.tree_leaves(out)[0]
-                )
-                jax.profiler.stop_trace()
-                profiling = False
+            observer.observe(batches_done, out)
             if callbacks.log and cfg.log_interval > 0 and i % cfg.log_interval == 0:
                 callbacks.log(epoch, i, bpe, out)
-            if sink is not None:
-                sink.write(batches_done, out)
             if (
                 callbacks.sample
                 and sample_interval > 0
@@ -105,8 +125,5 @@ def run_training(
             new_state = callbacks.epoch_end(state, epoch)
             if new_state is not None:
                 state = new_state
-    if profiling:
-        jax.profiler.stop_trace()
-    if sink is not None:
-        sink.close()
+    observer.close()
     return state
