@@ -64,11 +64,18 @@ def test_conv_transpose_parity(stride, padding, k, hw):
     layer = gnn.ConvTranspose(5, k, stride, padding)
     w = tc.weight.detach().numpy()  # (in, out, kh, kw)
     b = tc.bias.detach().numpy()
-    # flax transpose_kernel=True expects (kh, kw, out, in)
+    # flax transpose_kernel=True expects (kh, kw, out, in). The wrapper owns
+    # the params directly on the k4/s2/p1 fast path and nests an inner
+    # flax ConvTranspose otherwise — transplant wherever they live.
     kernel = np.transpose(w, (2, 3, 1, 0))
-    params = {
-        "params": {"ConvTranspose_0": {"kernel": jnp.asarray(kernel), "bias": jnp.asarray(b)}}
-    }
+    variables = layer.init(jax.random.PRNGKey(0), jnp.asarray(to_nhwc(x)))
+
+    def put(d):
+        if "kernel" in d:
+            return {"kernel": jnp.asarray(kernel), "bias": jnp.asarray(b)}
+        return {k: put(v) for k, v in d.items()}
+
+    params = {"params": put(variables["params"])}
     ours = np.asarray(layer.apply(params, jnp.asarray(to_nhwc(x))))
     theirs = tc(torch.from_numpy(x)).detach().numpy()
     assert to_nchw(ours).shape == theirs.shape

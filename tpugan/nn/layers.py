@@ -162,6 +162,38 @@ class ConvTranspose(nn.Module):
     def __call__(self, x):
         k, s, p = self.kernel_size, self.stride, self.padding
         fan_in = self.features * k * k  # torch ConvTranspose fan_in quirk
+        if (k, s, p) == (4, 2, 1) and x.shape[1] * x.shape[2] >= 1024:
+            # The zoo's hot configuration (every U-Net up block): use the
+            # kernel-segregated decomposition — four dense 2x2 convs instead
+            # of one zero-dilated 4x4 conv. Measured on a v5e chip
+            # (tpugan/ops/conv_transpose.py): 2.0x fwd / 1.5x bwd at
+            # 64x64x512, 1.4x fwd at 128x128x256, but ~parity at 16x16 and
+            # below where the interleave overhead dominates — hence the
+            # >=32x32 spatial gate (identical params/outputs either way,
+            # so the gate never changes numerics, only the schedule).
+            from tpugan.ops.conv_transpose import conv_transpose_s2k4p1
+
+            kernel = self.param(
+                "kernel", _weight_init(self.init_mode, fan_in),
+                (4, 4, self.features, x.shape[-1]),
+            )
+            bias = (
+                self.param(
+                    "bias", _bias_init(self.init_mode, fan_in),
+                    (self.features,),
+                )
+                if self.use_bias
+                else None
+            )
+            dt = _compute_dtype(self.dtype)
+            if dt is not None:
+                y = conv_transpose_s2k4p1(
+                    x.astype(dt), kernel.astype(dt),
+                    None if bias is None else bias.astype(dt),
+                )
+            else:
+                y = conv_transpose_s2k4p1(x, kernel, bias)
+            return y
         y = nn.ConvTranspose(
             self.features,
             kernel_size=(k, k),
