@@ -8,6 +8,12 @@ on this host; the reference publishes no numbers of its own).
 Runs on whatever the default JAX platform is (the real TPU chip under the
 driver); full training step (G+D update) with device-resident uint8 batches,
 warmup excluded.
+
+Uses the framework's fused multi-step dispatch (train/loop.py:scan_steps,
+CLI --steps_per_dispatch): K=60 optimizer steps per device call, numerics
+identical to K single dispatches (tests/test_scan_dispatch.py). For this
+~3 ms-class step the per-dispatch tunnel latency otherwise dominates and
+adds 2-10x noise (BASELINE.md variance note).
 """
 
 from __future__ import annotations
@@ -22,59 +28,53 @@ import numpy as np
 # 64px, batch 64, mean over 30 steps after 3 warmup). See BASELINE.md.
 TORCH_CPU_ANCHOR_IMAGES_PER_SEC = 10.3
 
-STEPS = 60
-WARMUP = 8
+K = 60  # steps fused per dispatch
 BATCH = 64
 IMG = 64
 
 
-def main() -> None:  # noqa: C901
+def main() -> None:
     from tpugan.models import dcgan
+    from tpugan.train.loop import scan_steps
 
     cfg = dcgan.Config(
         img_size=IMG, channels=1, batch_size=BATCH, synthetic_data=True
     )
     modules = dcgan.build(cfg)
     state = dcgan.create_state(cfg, modules)
-    step = jax.jit(dcgan.make_step(cfg, modules), donate_argnums=0)
+    steps = jax.jit(scan_steps(dcgan.make_step(cfg, modules)), donate_argnums=0)
 
     rng = np.random.default_rng(0)
-    n_batches = 8
-    host = rng.integers(0, 255, (n_batches, BATCH, IMG, IMG, 1), dtype=np.uint8)
-    batches = [jax.device_put(host[i]) for i in range(n_batches)]
-    labels = jax.device_put(np.zeros((BATCH,), np.int32))
+    host = rng.integers(0, 255, (K, BATCH, IMG, IMG, 1), dtype=np.uint8)
+    stacked = jax.device_put(host)
+    labels = jax.device_put(np.zeros((K, BATCH), np.int32))
 
-    def timed(n):
-        """Run n steps and HARD-sync via a scalar D2H fetch. On the axon
-        remote backend block_until_ready can return before short runs have
-        executed (measured 2026-08-16: a 5-step burst "completed" in 10ms
-        while the true step time was 84ms), so throughput is derived from
-        the difference of two run lengths below."""
+    def timed(n_dispatches):
+        """Run n dispatches of K steps each and HARD-sync via a scalar D2H
+        fetch (the axon remote backend's block_until_ready can under-wait
+        on short bursts; see BASELINE.md timing-protocol note)."""
         nonlocal state
         t0 = time.perf_counter()
-        for i in range(n):
-            state, out = step(state, batches[i % n_batches], labels)
-        float(out["d_loss"])
+        for _ in range(n_dispatches):
+            state, out = steps(state, stacked, labels)
+        float(out["d_loss"][-1])
         return time.perf_counter() - t0
 
-    for i in range(WARMUP):
-        state, out = step(state, batches[i % n_batches], labels)
-    float(out["d_loss"])
+    # Warmup: compile + one timed-length burst.
+    state, out = steps(state, stacked, labels)
+    float(out["d_loss"][-1])
 
-    # The shared axon tunnel adds load-dependent latency (measured spread
-    # 10k-34k img/s across minutes for this 3 ms-class step). Take the best
-    # of three VALID difference measurements; a delta is valid only when the
-    # long run took meaningfully longer than the short one (a load
-    # transition between runs can otherwise collapse the delta and blow the
-    # quotient up). Fall back to the plain long-run rate if none are valid.
-    n1, n2 = STEPS // 4, STEPS
+    # Difference method over two run lengths, best of three (shared-tunnel
+    # load variance; a delta is valid only when the long run took
+    # meaningfully longer than the short one).
+    m1, m2 = 1, 4
     candidates, fallback = [], 0.0
     for _ in range(3):
-        t1 = timed(n1)
-        t2 = timed(n2)
-        fallback = max(fallback, n2 * BATCH / t2)
+        t1 = timed(m1)
+        t2 = timed(m2)
+        fallback = max(fallback, m2 * K * BATCH / t2)
         if t2 - t1 > 0.2 * t2:
-            candidates.append((n2 - n1) * BATCH / (t2 - t1))
+            candidates.append((m2 - m1) * K * BATCH / (t2 - t1))
     ips = max(candidates) if candidates else fallback
     print(
         json.dumps(

@@ -347,39 +347,28 @@ def resize_crop_flip_transform(
     width: int,
     scale: float = 1.12,
     indices=(0, 1),
-    joint: bool = False,
 ):
-    """CycleGAN train-time jitter (cyclegan/cyclegan.py:111-117): upscale
-    ~1.12x (bicubic in the reference; bilinear via cv-free numpy/jax here is
-    visually equivalent for jitter), random crop back to (H, W), random
-    h-flip. Operates on uint8 batches on the loader thread."""
-    import jax
+    """CycleGAN train-time jitter (cyclegan/cyclegan.py:111-117): bicubic
+    upscale ~1.12x, random crop back to (H, W), random h-flip. Runs on the
+    loader thread through the native host pipeline (tpugan.native
+    .augment_batch — PIL-bit-exact bicubic, fused crop/flip in C++, with a
+    numpy fallback); crop offsets and flip flags come from the loader's
+    seeded numpy Generator either way."""
+    from tpugan import native
 
     up_h, up_w = int(height * scale), int(width * scale)
-
-    def _resize(arr):
-        out = jax.image.resize(
-            arr.astype(np.float32),
-            (arr.shape[0], up_h, up_w, arr.shape[3]),
-            method="bicubic",
-        )
-        return np.asarray(out)
 
     def transform(batch, epoch, bidx):
         rng = np.random.default_rng((seed, epoch, bidx, 3))
         out = list(batch)
         for i in indices:
-            big = _resize(out[i])
-            n = len(big)
+            n = len(out[i])
             ys = rng.integers(0, up_h - height + 1, n)
             xs = rng.integers(0, up_w - width + 1, n)
             flips = rng.random(n) < 0.5
-            crop = np.zeros((n, height, width, big.shape[3]), np.float32)
-            for j in range(n):
-                crop[j] = big[j, ys[j] : ys[j] + height, xs[j] : xs[j] + width]
-                if flips[j]:
-                    crop[j] = crop[j, :, ::-1]
-            out[i] = np.clip(crop, 0, 255).astype(np.uint8)
+            out[i] = native.augment_batch(
+                out[i], (up_h, up_w), (height, width), ys, xs, flips
+            )
         return tuple(out)
 
     return transform

@@ -62,9 +62,17 @@ class DeviceLoader:
         rng = np.random.default_rng(self.seed * 1000003 + epoch)
         idx = rng.permutation(self.n) if self.shuffle else np.arange(self.n)
         nb = len(self)
+        from tpugan import native
+
         for b in range(nb):
             sel = idx[b * self.batch_size : (b + 1) * self.batch_size]
-            batch = tuple(a[sel] for a in self.arrays)
+            # uint8 image arrays go through the native batch assembler
+            # (csrc/host_pipeline.cpp tg_gather_u8); identical result to
+            # numpy fancy indexing, which remains the fallback.
+            batch = tuple(
+                native.gather(a, sel) if a.dtype == np.uint8 else a[sel]
+                for a in self.arrays
+            )
             if self.host_transform is not None:
                 batch = self.host_transform(batch, epoch, b)
             yield batch
@@ -134,10 +142,12 @@ class UnpairedLoader(DeviceLoader):
         # A cycled to n then shuffled (index % len(A), datasets.py:26).
         idx_a = rng.permutation(self.n) % len(self._a)
         nb = len(self)
+        from tpugan import native
+
         for bi in range(nb):
             sel = idx_a[bi * self.batch_size : (bi + 1) * self.batch_size]
             b_sel = rng.integers(0, len(self._b), size=len(sel))
-            batch = (self._a[sel], self._b[b_sel])
+            batch = (native.gather(self._a, sel), native.gather(self._b, b_sel))
             if self.host_transform is not None:
                 batch = self.host_transform(batch, epoch, bi)
             yield batch

@@ -13,6 +13,55 @@ import json
 from typing import Any, Callable, Optional
 
 import jax
+import jax.numpy as jnp
+
+
+def scan_steps(step_fn):
+    """Fuse K sequential train steps into ONE device dispatch via lax.scan.
+
+    The reference dispatches one optimizer step per Python loop iteration
+    (gan/gan.py:121-170); on TPU the host->device dispatch latency for a
+    millisecond-class step (DCGAN 64px is ~3 ms of compute) can exceed the
+    compute itself, so the TPU-native loop scans K steps per dispatch.
+
+    step_fn must be ``(state, *args) -> (state, out)`` with ``out`` a flat
+    dict (the recipe-module contract). Returns ``steps(state, *stacked)``
+    where each arg carries a leading K axis; the result ``out`` has every
+    scalar entry stacked to shape [K] (one value per inner step, so per-step
+    telemetry is preserved exactly) and every non-scalar entry (e.g.
+    ``gen_imgs``) from the LAST inner step only — carrying, not stacking,
+    the heavy outputs keeps HBM use independent of K.
+
+    Numerics are IDENTICAL to K sequential dispatches: same RNG splits, same
+    update order (tests/test_scan_dispatch.py asserts equality).
+    """
+
+    def steps(state, *stacked):
+        first = jax.tree_util.tree_map(lambda a: a[0], stacked)
+        out_sd = jax.eval_shape(step_fn, state, *first)[1]
+        heavy_keys = [n for n, v in out_sd.items() if v.ndim > 0]
+        heavy0 = {
+            n: jnp.zeros(out_sd[n].shape, out_sd[n].dtype) for n in heavy_keys
+        }
+
+        def body(carry, xs):
+            s, _ = carry
+            s, out = step_fn(s, *xs)
+            heavy = {n: out[n] for n in heavy_keys}
+            scalars = {n: v for n, v in out.items() if n not in heavy_keys}
+            return (s, heavy), scalars
+
+        (new_state, heavy), scalars = jax.lax.scan(body, (state, heavy0), stacked)
+        out = dict(scalars)
+        out.update(heavy)
+        return new_state, out
+
+    return steps
+
+
+def _stack_batches(batches):
+    """Stack a list of per-step batch tuples along a new leading K axis."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
 
 
 class MetricsSink:
@@ -105,22 +154,65 @@ def run_training(
     if cfg.max_batches >= 0:
         bpe = min(bpe, cfg.max_batches)
     step = jax.jit(step_fn, donate_argnums=0) if jit else step_fn
+    k = max(1, int(getattr(cfg, "steps_per_dispatch", 1)))
+    scan = (
+        jax.jit(scan_steps(step_fn), donate_argnums=0)
+        if (jit and k > 1)
+        else None
+    )
     observer = StepObserver(cfg)
+
+    def after_step(state, out, epoch, i):
+        batches_done = epoch * bpe + i
+        observer.observe(batches_done, out)
+        if callbacks.log and cfg.log_interval > 0 and i % cfg.log_interval == 0:
+            callbacks.log(epoch, i, bpe, out)
+        if (
+            callbacks.sample
+            and sample_interval > 0
+            and batches_done % sample_interval == 0
+        ):
+            callbacks.sample(state, out, batches_done)
+
+    heavy_keys = None  # out entries that are per-step non-scalars
     for epoch in range(start_epoch, n_epochs):
+        pending = []  # buffered (i, batch) tuples for the scan dispatch
         for i, batch in enumerate(loader.epoch(epoch)):
             if cfg.max_batches >= 0 and i >= cfg.max_batches:
                 break
-            batches_done = epoch * bpe + i
+            if scan is None:
+                state, out = step(state, *batch)
+                after_step(state, out, epoch, i)
+                continue
+            if heavy_keys is None:
+                out_sd = jax.eval_shape(step_fn, state, *batch)[1]
+                heavy_keys = {n for n, v in out_sd.items() if v.ndim > 0}
+            pending.append((i, batch))
+            if len(pending) < k:
+                continue
+            first_i = pending[0][0]
+            stacked = _stack_batches([b for _, b in pending])
+            pending = []
+            state, out = scan(state, *stacked)
+            # Replay per-inner-step host work from the stacked scalars; the
+            # non-scalar outputs (sample grids) come from the chunk's LAST
+            # step — a sample fired mid-chunk uses images up to k-1 steps
+            # newer than its reference-parity filename (documented
+            # deviation; pick k dividing sample_interval for exactness).
+            host_out = {
+                n: (v if n in heavy_keys else jax.device_get(v))
+                for n, v in out.items()
+            }
+            for j in range(k):
+                row = {
+                    n: (v if n in heavy_keys else v[j])
+                    for n, v in host_out.items()
+                }
+                after_step(state, row, epoch, first_i + j)
+        # Remainder (epoch tail shorter than k): single-step dispatches.
+        for i, batch in pending:
             state, out = step(state, *batch)
-            observer.observe(batches_done, out)
-            if callbacks.log and cfg.log_interval > 0 and i % cfg.log_interval == 0:
-                callbacks.log(epoch, i, bpe, out)
-            if (
-                callbacks.sample
-                and sample_interval > 0
-                and batches_done % sample_interval == 0
-            ):
-                callbacks.sample(state, out, batches_done)
+            after_step(state, out, epoch, i)
         if callbacks.epoch_end is not None:
             new_state = callbacks.epoch_end(state, epoch)
             if new_state is not None:

@@ -58,6 +58,12 @@ class BaseConfig:
     # Debug mode: disable input prefetch + enable NaN checks (SURVEY.md §5
     # race-surface notes).
     debug_numerics: bool = flag(False, "enable jax_debug_nans")
+    # Fuse K optimizer steps into one device dispatch via lax.scan
+    # (train/loop.py:scan_steps). Numerics identical to K single dispatches;
+    # amortizes host->device dispatch latency for millisecond-class steps.
+    # Mid-chunk sample grids use the chunk's last step (pick a value
+    # dividing --sample_interval for exact filename/image alignment).
+    steps_per_dispatch: int = flag(1, "train steps fused per device dispatch")
 
 
 def _field_type(f: dataclasses.Field) -> Any:
