@@ -14,6 +14,11 @@ CLI --steps_per_dispatch): K=60 optimizer steps per device call, numerics
 identical to K single dispatches (tests/test_scan_dispatch.py). For this
 ~3 ms-class step the per-dispatch tunnel latency otherwise dominates and
 adds 2-10x noise (BASELINE.md variance note).
+
+Measures the production TPU config: bfloat16 mixed precision (fp32 params/
+norm stats, bf16 conv/dense compute — the CLI's --dtype bfloat16), +21%
+over fp32 with equivalent sample quality (FID A/B in BASELINE.md).
+Set TPUGAN_BENCH_DTYPE=float32 for the exact-parity measurement.
 """
 
 from __future__ import annotations
@@ -34,6 +39,15 @@ IMG = 64
 
 
 def main() -> None:
+    import os
+
+    if os.environ.get("TPUGAN_BENCH_DTYPE", "bfloat16") != "float32":
+        import jax.numpy as jnp
+
+        from tpugan.nn.layers import set_default_compute_dtype
+
+        set_default_compute_dtype(jnp.bfloat16)
+
     from tpugan.models import dcgan
     from tpugan.train.loop import scan_steps
 
