@@ -17,6 +17,9 @@ the layout consumed by tpugan.nn.vgg.load_vgg19_npz. Drop the file under
 
 from __future__ import annotations
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import sys
 

@@ -157,3 +157,73 @@ def test_resnet_g_and_patchgan_param_count_matches_torch():
     )
     assert n_g == 11_378_179, n_g
     assert n_d == 2_764_737, n_d
+
+
+def test_cyclegan_batched_applications_match_unbatched():
+    """The step batches each generator's adversarial+identity forwards and
+    each discriminator's real+fake forwards into single applications
+    (InstanceNorm is per-sample, so this is exact — cyclegan.py make_step).
+    Pin equality of every loss against the reference's one-call-per-input
+    composition (cyclegan/cyclegan.py:177-239)."""
+    from tpugan.losses import l1, mse
+    from tpugan.models._common import apply_mod
+    from tpugan.train.state import normalize_uint8
+
+    cfg = cyclegan.Config(
+        batch_size=2, img_height=32, img_width=32, n_residual_blocks=1,
+        synthetic_data=True,
+    )
+    modules = cyclegan.build(cfg)
+    state = cyclegan.create_state(cfg, modules, steps_per_epoch=10)
+    step = jax.jit(cyclegan.make_step(cfg, modules, steps_per_epoch=10))
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 255, (2, 32, 32, 3), np.uint8)
+    b = rng.integers(0, 255, (2, 32, 32, 3), np.uint8)
+    _, out = step(state, a, b)
+
+    # Unbatched recomputation from the SAME pre-step state.
+    real_a, real_b = normalize_uint8(jnp.asarray(a)), normalize_uint8(
+        jnp.asarray(b)
+    )
+    p = state.params
+    G_AB, G_BA = modules["G_AB"], modules["G_BA"]
+    D_A, D_B = modules["D_A"], modules["D_B"]
+    id_a, _ = apply_mod(G_BA, p["G_BA"], None, real_a)
+    id_b, _ = apply_mod(G_AB, p["G_AB"], None, real_b)
+    loss_identity = (l1(id_a, real_a) + l1(id_b, real_b)) / 2
+    fake_b, _ = apply_mod(G_AB, p["G_AB"], None, real_a)
+    fake_a, _ = apply_mod(G_BA, p["G_BA"], None, real_b)
+    pred_b, _ = apply_mod(D_B, p["D_B"], None, fake_b)
+    pred_a, _ = apply_mod(D_A, p["D_A"], None, fake_a)
+    loss_gan = (mse(pred_b, 1.0) + mse(pred_a, 1.0)) / 2
+    recov_a, _ = apply_mod(G_BA, p["G_BA"], None, fake_b)
+    recov_b, _ = apply_mod(G_AB, p["G_AB"], None, fake_a)
+    loss_cycle = (l1(recov_a, real_a) + l1(recov_b, real_b)) / 2
+
+    np.testing.assert_allclose(
+        float(out["loss_identity"]), float(loss_identity), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(out["loss_GAN"]), float(loss_gan), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(out["loss_cycle"]), float(loss_cycle), rtol=1e-5
+    )
+
+    # D losses: same replay-buffer draw as inside the step.
+    _, k_buf_a, k_buf_b = jax.random.split(state.rng, 3)
+    _, fake_a_pool = replay_push_and_pop(
+        state.aux["buf_A"], jax.lax.stop_gradient(fake_a), k_buf_a
+    )
+    _, fake_b_pool = replay_push_and_pop(
+        state.aux["buf_B"], jax.lax.stop_gradient(fake_b), k_buf_b
+    )
+    pr_a, _ = apply_mod(D_A, p["D_A"], None, real_a)
+    pf_a, _ = apply_mod(D_A, p["D_A"], None, fake_a_pool)
+    pr_b, _ = apply_mod(D_B, p["D_B"], None, real_b)
+    pf_b, _ = apply_mod(D_B, p["D_B"], None, fake_b_pool)
+    d_loss = (
+        (mse(pr_a, 1.0) + mse(pf_a, 0.0)) / 2
+        + (mse(pr_b, 1.0) + mse(pf_b, 0.0)) / 2
+    ) / 2
+    np.testing.assert_allclose(float(out["d_loss"]), float(d_loss), rtol=1e-5)

@@ -130,14 +130,29 @@ def make_step(cfg: Config, modules=None, steps_per_epoch: int = 1):
         rng, k_buf_a, k_buf_b = jax.random.split(state.rng, 3)
 
         # --- G phase (cyclegan.py:177-205) ---
+        # The adversarial and identity applications of each generator are
+        # batched into ONE forward (G_AB sees [real_a; real_b], G_BA sees
+        # [real_b; real_a]): every norm in this model is per-sample
+        # InstanceNorm, so the batched pass is mathematically identical to
+        # the reference's separate calls while doubling MXU occupancy at
+        # the reference's batch_size=1 (tests/test_im2im_core.py pins
+        # equality against the unbatched composition).
+        n = real_a.shape[0]
+
         def g_loss_fn(g_tree):
-            id_a, _ = apply_mod(G_BA, g_tree["G_BA"], None, real_a)
-            id_b, _ = apply_mod(G_AB, g_tree["G_AB"], None, real_b)
+            ab_out, _ = apply_mod(
+                G_AB, g_tree["G_AB"], None,
+                jnp.concatenate([real_a, real_b], axis=0),
+            )
+            fake_b, id_b = ab_out[:n], ab_out[n:]
+            ba_out, _ = apply_mod(
+                G_BA, g_tree["G_BA"], None,
+                jnp.concatenate([real_b, real_a], axis=0),
+            )
+            fake_a, id_a = ba_out[:n], ba_out[n:]
             loss_identity = (l1(id_a, real_a) + l1(id_b, real_b)) / 2
 
-            fake_b, _ = apply_mod(G_AB, g_tree["G_AB"], None, real_a)
             pred_b, _ = apply_mod(D_B, state.params["D_B"], None, fake_b)
-            fake_a, _ = apply_mod(G_BA, g_tree["G_BA"], None, real_b)
             pred_a, _ = apply_mod(D_A, state.params["D_A"], None, fake_a)
             loss_gan = (mse(pred_b, 1.0) + mse(pred_a, 1.0)) / 2
 
@@ -168,10 +183,14 @@ def make_step(cfg: Config, modules=None, steps_per_epoch: int = 1):
         )
 
         # --- D_A phase (cyclegan.py:211-222) ---
+        # real and buffered-fake batched into one forward (InstanceNorm D,
+        # per-sample — same rationale as the G phase above).
         def da_loss_fn(d_params):
-            pred_real, _ = apply_mod(D_A, d_params, None, real_a)
-            pred_fake, _ = apply_mod(D_A, d_params, None, fake_a_pool)
-            return (mse(pred_real, 1.0) + mse(pred_fake, 0.0)) / 2
+            pred, _ = apply_mod(
+                D_A, d_params, None,
+                jnp.concatenate([real_a, fake_a_pool], axis=0),
+            )
+            return (mse(pred[:n], 1.0) + mse(pred[n:], 0.0)) / 2
 
         loss_d_a, da_grads = jax.value_and_grad(da_loss_fn)(state.params["D_A"])
         da_up, da_opt = tx_d.update(
@@ -181,9 +200,11 @@ def make_step(cfg: Config, modules=None, steps_per_epoch: int = 1):
 
         # --- D_B phase (cyclegan.py:228-239) ---
         def db_loss_fn(d_params):
-            pred_real, _ = apply_mod(D_B, d_params, None, real_b)
-            pred_fake, _ = apply_mod(D_B, d_params, None, fake_b_pool)
-            return (mse(pred_real, 1.0) + mse(pred_fake, 0.0)) / 2
+            pred, _ = apply_mod(
+                D_B, d_params, None,
+                jnp.concatenate([real_b, fake_b_pool], axis=0),
+            )
+            return (mse(pred[:n], 1.0) + mse(pred[n:], 0.0)) / 2
 
         loss_d_b, db_grads = jax.value_and_grad(db_loss_fn)(state.params["D_B"])
         db_up, db_opt = tx_d.update(
