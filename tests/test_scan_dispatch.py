@@ -122,3 +122,32 @@ def test_run_training_chunked_equals_single(tmp_path):
     for a, b in zip(rows1, rows3):
         for n in a:
             np.testing.assert_allclose(a[n], b[n], rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_chunked_dispatch_composes_with_data_parallel(tmp_path):
+    """--steps_per_dispatch under GSPMD DP: stacking batch-sharded arrays
+    and scanning over them must compile and keep global-batch semantics
+    (runs on the conftest's virtual 8-device mesh via run_mnist_recipe's
+    auto-DP path)."""
+    from tpugan.models import gan
+
+    if jax.device_count() < 2:
+        pytest.skip("needs the multi-device mesh")
+    cfg = gan.Config(
+        batch_size=16,
+        synthetic_data=True,
+        n_epochs=1,
+        max_batches=4,
+        log_interval=0,
+        sample_interval=0,
+        seed=5,
+        steps_per_dispatch=2,
+        metrics_jsonl=str(tmp_path / "dp.jsonl"),
+        output_dir=str(tmp_path),
+    )
+    state = gan.run(cfg)
+    assert int(state.step) == 4
+    rows = [json.loads(l) for l in open(cfg.metrics_jsonl)]
+    assert len(rows) == 4
+    assert all(np.isfinite(r["d_loss"]) for r in rows)
