@@ -41,7 +41,12 @@ IMG = 64
 def main() -> None:
     import os
 
-    if os.environ.get("TPUGAN_BENCH_DTYPE", "bfloat16") != "float32":
+    dtype = os.environ.get("TPUGAN_BENCH_DTYPE", "bfloat16")
+    if dtype not in ("float32", "bfloat16"):
+        raise SystemExit(
+            f"TPUGAN_BENCH_DTYPE={dtype!r}: expected float32 or bfloat16"
+        )
+    if dtype == "bfloat16":
         import jax.numpy as jnp
 
         from tpugan.nn.layers import set_default_compute_dtype

@@ -46,7 +46,7 @@ def main() -> None:
 
     import torch
 
-    from tpugan.io.checkpoint import load_pytree, save_pytree
+    from tpugan.io.checkpoint import load_pytree, module_payload, save_pytree
     from tpugan.io.torch_interop import export_state_dict, import_state_dict
     from tpugan.models import registry
     from tpugan.utils.config import config_from_args
@@ -67,15 +67,20 @@ def main() -> None:
         if not args.torch_pth:
             sys.exit("import requires --torch_pth")
         sd = torch.load(args.torch_pth, map_location="cpu")
-        new_params, _ = import_state_dict(params, sd, bs)
-        save_pytree(new_params, args.out)
+        new_params, new_bs = import_state_dict(params, sd, bs)
+        # Write the standard per-module payload (params + running stats,
+        # io/checkpoint.py:module_payload) so --epoch resume and eval-mode
+        # forwards see the torch model's BatchNorm statistics.
+        save_pytree(module_payload(new_params, new_bs), args.out)
         print(f"imported {args.torch_pth} -> {args.out}")
     else:
         if not (args.state and args.template):
             sys.exit("export requires --state and --template")
-        params = load_pytree(params, args.state)
+        payload = load_pytree(module_payload(params, bs), args.state)
         template = torch.load(args.template, map_location="cpu")
-        out_sd = export_state_dict(params, template, bs)
+        out_sd = export_state_dict(
+            payload["params"], template, payload["batch_stats"] or None
+        )
         torch.save(out_sd, args.out)
         print(f"exported {args.state} -> {args.out}")
 

@@ -56,14 +56,23 @@ def test_reference_named_module_checkpoints(tmp_path):
     cfg = gan.Config(batch_size=4, latent_dim=8)
     state = gan.create_state(cfg)
     save_modules(
-        {"generator": state.params["generator"]}, str(tmp_path), epoch=7
+        {"generator": state.params["generator"]}, str(tmp_path), epoch=7,
+        stats_by_name={"generator": state.model_state.get("generator")},
     )
     assert os.path.exists(str(tmp_path / "generator_7.pth"))
-    loaded = load_modules(
-        {"generator": state.params["generator"]}, str(tmp_path), 7
+    loaded, stats = load_modules(
+        {"generator": state.params["generator"]}, str(tmp_path), 7,
+        {"generator": state.model_state.get("generator")},
     )
     for a, b in zip(
         jax.tree_util.tree_leaves(state.params["generator"]),
         jax.tree_util.tree_leaves(loaded["generator"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # BatchNorm running stats ride along in the same file (torch
+    # state_dict semantics — io/checkpoint.py:module_payload).
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.model_state["generator"]),
+        jax.tree_util.tree_leaves(stats["generator"]),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -151,3 +151,35 @@ def test_chunked_dispatch_composes_with_data_parallel(tmp_path):
     rows = [json.loads(l) for l in open(cfg.metrics_jsonl)]
     assert len(rows) == 4
     assert all(np.isfinite(r["d_loss"]) for r in rows)
+
+
+def test_profiler_traces_fused_dispatches(tmp_path):
+    """--profile_dir under --steps_per_dispatch: the trace must span real
+    device dispatches (profile ticks count scan() calls, not replayed host
+    rows — StepObserver.profile_tick)."""
+    from tpugan.models import gan
+
+    cfg = gan.Config(
+        batch_size=8,
+        latent_dim=8,
+        synthetic_data=True,
+        n_epochs=1,
+        max_batches=6,
+        log_interval=0,
+        sample_interval=0,
+        steps_per_dispatch=2,
+        profile_dir=str(tmp_path / "trace"),
+        profile_steps=1,
+        output_dir=str(tmp_path),
+    )
+    modules = gan.build(cfg)
+    state = gan.create_state(cfg, modules)
+    loader = gan.make_loader(cfg)
+    step = gan.make_step(cfg, modules)
+    run_training(cfg, loader, state, step, Callbacks(), n_epochs=1)
+    files = [
+        f
+        for root, _, fs in __import__("os").walk(cfg.profile_dir)
+        for f in fs
+    ]
+    assert files, "no trace written"

@@ -102,7 +102,7 @@ def test_test_on_image_roundtrip(tmp_path):
     """The inference CLI writes images/outputs/sr-<name> at 4x resolution."""
     from PIL import Image
 
-    from tpugan.io.checkpoint import save_pytree
+    from tpugan.io.checkpoint import module_payload, save_pytree
     from tpugan.models import test_on_image
 
     img_path = str(tmp_path / "input.png")
@@ -119,7 +119,7 @@ def test_test_on_image_roundtrip(tmp_path):
     params, _ = init_module(
         G, jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3))
     )
-    save_pytree(params, cfg.checkpoint_model)
+    save_pytree(module_payload(params), cfg.checkpoint_model)
     out_path = test_on_image.infer_image(cfg)
     assert os.path.exists(out_path)
     sr = Image.open(out_path)

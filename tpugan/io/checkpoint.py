@@ -36,19 +36,49 @@ def load_pytree(template: T, path: str) -> T:
     return serialization.from_bytes(template, data)
 
 
-def save_modules(params_by_name: dict, directory: str, epoch: int) -> None:
+def module_payload(params: Any, batch_stats: Any = None) -> dict:
+    """Per-module checkpoint payload. Carries BatchNorm running stats next
+    to the params — torch's ``state_dict`` includes running stats, so the
+    reference's weights-only resume (pix2pix/pix2pix.py:69-76) restores
+    them too; a params-only payload would silently reset them."""
+    return {"params": params, "batch_stats": batch_stats or {}}
+
+
+def save_modules(
+    params_by_name: dict,
+    directory: str,
+    epoch: int,
+    stats_by_name: dict | None = None,
+) -> None:
     """Reference-style per-module checkpoints: one file per module named
     ``<module>_<epoch>.pth`` (pix2pix/pix2pix.py:204-207,
-    cyclegan/cyclegan.py:279-284 — same names, flax msgpack payload)."""
+    cyclegan/cyclegan.py:279-284 — same names, flax msgpack payload of
+    ``module_payload``)."""
+    stats_by_name = stats_by_name or {}
     for name, params in params_by_name.items():
-        save_pytree(params, os.path.join(directory, f"{name}_{epoch}.pth"))
-
-
-def load_modules(template_by_name: dict, directory: str, epoch: int) -> dict:
-    """Resume from ``--epoch N`` files (pix2pix/pix2pix.py:69-76)."""
-    out = {}
-    for name, template in template_by_name.items():
-        out[name] = load_pytree(
-            template, os.path.join(directory, f"{name}_{epoch}.pth")
+        save_pytree(
+            module_payload(params, stats_by_name.get(name)),
+            os.path.join(directory, f"{name}_{epoch}.pth"),
         )
-    return out
+
+
+def load_modules(
+    template_by_name: dict,
+    directory: str,
+    epoch: int,
+    stats_template_by_name: dict | None = None,
+) -> tuple:
+    """Resume from ``--epoch N`` files (pix2pix/pix2pix.py:69-76).
+
+    Returns ``(params_by_name, stats_by_name)``; stats entries are ``{}``
+    for stat-free modules."""
+    stats_template_by_name = stats_template_by_name or {}
+    params_out, stats_out = {}, {}
+    for name, template in template_by_name.items():
+        payload = load_pytree(
+            module_payload(template, stats_template_by_name.get(name)),
+            os.path.join(directory, f"{name}_{epoch}.pth"),
+        )
+        params_out[name] = payload["params"]
+        stats_out[name] = payload["batch_stats"]
+    return params_out, stats_out

@@ -57,13 +57,20 @@ def out_dirs(cfg):
 
 
 def maybe_resume(state, cfg, module_names):
-    """--epoch N resume: load per-module param files, else keep fresh init
+    """--epoch N resume: load per-module files (params + BatchNorm running
+    stats, io/checkpoint.py:module_payload), else keep fresh init
     (weights_init already applied at build)."""
     if cfg.epoch != 0:
         _, ckptdir = out_dirs(cfg)
         templates = {n: state.params[n] for n in module_names}
-        loaded = load_modules(templates, ckptdir, cfg.epoch)
-        state = state.replace(params={**state.params, **loaded})
+        stats_tpl = {
+            n: (state.model_state or {}).get(n) for n in module_names
+        }
+        params, stats = load_modules(templates, ckptdir, cfg.epoch, stats_tpl)
+        state = state.replace(
+            params={**state.params, **params},
+            model_state={**(state.model_state or {}), **stats},
+        )
     return state
 
 
@@ -71,5 +78,8 @@ def checkpoint_epoch(state, cfg, epoch, module_names):
     if cfg.checkpoint_interval != -1 and epoch % cfg.checkpoint_interval == 0:
         _, ckptdir = out_dirs(cfg)
         save_modules(
-            {n: state.params[n] for n in module_names}, ckptdir, epoch
+            {n: state.params[n] for n in module_names},
+            ckptdir,
+            epoch,
+            {n: (state.model_state or {}).get(n) for n in module_names},
         )

@@ -251,11 +251,16 @@ def run(cfg: Config):
     imgdir = os.path.join(cfg.output_dir, "images", "training")
     os.makedirs(imgdir, exist_ok=True)
     if cfg.epoch != 0:
-        loaded = load_modules(
+        params, stats = load_modules(
             {n: state.params[n] for n in ("generator", "discriminator")},
             ckptdir, cfg.epoch,
+            {n: (state.model_state or {}).get(n)
+             for n in ("generator", "discriminator")},
         )
-        state = state.replace(params={**state.params, **loaded})
+        state = state.replace(
+            params={**state.params, **params},
+            model_state={**(state.model_state or {}), **stats},
+        )
     sharding = auto_sharding(cfg.batch_size)
     loader = make_loader(cfg, sharding=sharding)
     state = replicate_for(sharding, state)
@@ -321,6 +326,10 @@ def run(cfg: Config):
                         for n in ("generator", "discriminator")
                     },
                     ckptdir, epoch,
+                    {
+                        n: (state.model_state or {}).get(n)
+                        for n in ("generator", "discriminator")
+                    },
                 )
     observer.close()
     return state
@@ -356,7 +365,11 @@ def infer_image(cfg: TestOnImageConfig):
     ) / 255.0
     x = imagenet_normalize(jnp.asarray(img))[None]
     template, _ = init_module(G, jax.random.PRNGKey(0), x)
-    params = load_pytree(template, cfg.checkpoint_model)
+    from tpugan.io.checkpoint import module_payload
+
+    params = load_pytree(
+        module_payload(template), cfg.checkpoint_model
+    )["params"]
     sr, _ = apply_mod(G, params, None, x)
     sr = imagenet_denormalize(sr)
     outdir = os.path.join(cfg.output_dir, "images", "outputs")

@@ -379,11 +379,16 @@ def run(cfg: Config):
         from tpugan.io.checkpoint import load_modules
 
         ckptdir = os.path.join(cfg.output_dir, "saved_models")
-        loaded = load_modules(
+        params, stats = load_modules(
             {n: state.params[n] for n in ("generator", "discriminator")},
             ckptdir, cfg.epoch,
+            {n: (state.model_state or {}).get(n)
+             for n in ("generator", "discriminator")},
         )
-        state = state.replace(params={**state.params, **loaded})
+        state = state.replace(
+            params={**state.params, **params},
+            model_state={**(state.model_state or {}), **stats},
+        )
     sharding = auto_sharding(cfg.batch_size)
     loader = make_loader(cfg, sharding=sharding)
     state = replicate_for(sharding, state)
@@ -444,6 +449,8 @@ def run(cfg: Config):
             save_modules(
                 {n: state.params[n] for n in ("generator", "discriminator")},
                 ckptdir, epoch,
+                {n: (state.model_state or {}).get(n)
+                 for n in ("generator", "discriminator")},
             )
     observer.close()
     return state

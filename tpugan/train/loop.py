@@ -39,7 +39,7 @@ def scan_steps(step_fn):
     def steps(state, *stacked):
         first = jax.tree_util.tree_map(lambda a: a[0], stacked)
         out_sd = jax.eval_shape(step_fn, state, *first)[1]
-        heavy_keys = [n for n, v in out_sd.items() if v.ndim > 0]
+        heavy_keys = heavy_out_keys(out_sd)
         heavy0 = {
             n: jnp.zeros(out_sd[n].shape, out_sd[n].dtype) for n in heavy_keys
         }
@@ -57,6 +57,13 @@ def scan_steps(step_fn):
         return new_state, out
 
     return steps
+
+
+def heavy_out_keys(out_sd) -> list:
+    """The out-dict entries scan_steps carries from the last step instead
+    of stacking — the single definition of the heavy/scalar split shared
+    by scan_steps and run_training's chunk replay."""
+    return [n for n, v in out_sd.items() if v.ndim > 0]
 
 
 def _stack_batches(batches):
@@ -108,8 +115,13 @@ class StepObserver:
         if getattr(cfg, "debug_numerics", False):
             jax.config.update("jax_debug_nans", True)
 
-    def observe(self, batches_done: int, out: dict) -> None:
-        # Skip call 0 (holds the compile); trace calls [1, 1+N).
+    def profile_tick(self, out: dict) -> None:
+        """Advance the profiling state machine by ONE DEVICE DISPATCH.
+        Called once per step() call — or once per fused scan() call under
+        --steps_per_dispatch, where counting replayed host rows instead
+        would open and close the trace between dispatches and capture no
+        device work."""
+        # Skip dispatch 0 (holds the compile); trace dispatches [1, 1+N).
         if self.profile_dir and self._calls == 1 and not self._profiling:
             jax.profiler.start_trace(self.profile_dir)
             self._profiling = True
@@ -117,9 +129,13 @@ class StepObserver:
             jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
             jax.profiler.stop_trace()
             self._profiling = False
+        self._calls += 1
+
+    def observe(self, batches_done: int, out: dict, dispatch: bool = True) -> None:
+        if dispatch:
+            self.profile_tick(out)
         if self.sink is not None:
             self.sink.write(batches_done, out)
-        self._calls += 1
 
     def close(self) -> None:
         if self._profiling:
@@ -162,9 +178,9 @@ def run_training(
     )
     observer = StepObserver(cfg)
 
-    def after_step(state, out, epoch, i):
+    def after_step(state, out, epoch, i, dispatch=True):
         batches_done = epoch * bpe + i
-        observer.observe(batches_done, out)
+        observer.observe(batches_done, out, dispatch=dispatch)
         if callbacks.log and cfg.log_interval > 0 and i % cfg.log_interval == 0:
             callbacks.log(epoch, i, bpe, out)
         if (
@@ -186,7 +202,7 @@ def run_training(
                 continue
             if heavy_keys is None:
                 out_sd = jax.eval_shape(step_fn, state, *batch)[1]
-                heavy_keys = {n for n, v in out_sd.items() if v.ndim > 0}
+                heavy_keys = set(heavy_out_keys(out_sd))
             pending.append((i, batch))
             if len(pending) < k:
                 continue
@@ -194,6 +210,7 @@ def run_training(
             stacked = _stack_batches([b for _, b in pending])
             pending = []
             state, out = scan(state, *stacked)
+            observer.profile_tick(out)  # one device dispatch
             # Replay per-inner-step host work from the stacked scalars; the
             # non-scalar outputs (sample grids) come from the chunk's LAST
             # step — a sample fired mid-chunk uses images up to k-1 steps
@@ -208,7 +225,7 @@ def run_training(
                     n: (v if n in heavy_keys else v[j])
                     for n, v in host_out.items()
                 }
-                after_step(state, row, epoch, first_i + j)
+                after_step(state, row, epoch, first_i + j, dispatch=False)
         # Remainder (epoch tail shorter than k): single-step dispatches.
         for i, batch in pending:
             state, out = step(state, *batch)
