@@ -30,6 +30,20 @@ IMG = 256
 def main() -> None:
     from tpugan.models import cyclegan
 
+    # TPUGAN_BENCH_DTYPE=bfloat16 measures the mixed-precision production
+    # config (same switch as bench.py); default fp32 = reference parity.
+    dtype = _os.environ.get("TPUGAN_BENCH_DTYPE", "float32")
+    if dtype not in ("float32", "bfloat16"):
+        raise SystemExit(
+            f"TPUGAN_BENCH_DTYPE={dtype!r}: expected float32 or bfloat16"
+        )
+    if dtype == "bfloat16":
+        import jax.numpy as jnp
+
+        from tpugan.nn.layers import set_default_compute_dtype
+
+        set_default_compute_dtype(jnp.bfloat16)
+
     cfg = cyclegan.Config(
         img_height=IMG, img_width=IMG, batch_size=BATCH, synthetic_data=True
     )

@@ -76,3 +76,41 @@ def test_reference_named_module_checkpoints(tmp_path):
         jax.tree_util.tree_leaves(stats["generator"]),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_synchronous_loader_mode_yields_identical_batches():
+    """--debug_numerics removes the only concurrency in the framework (the
+    loader's producer thread, SURVEY.md §5 race surface) without changing
+    the delivered batch stream."""
+    from tpugan.data.loader import DeviceLoader, set_synchronous
+
+    data = np.random.default_rng(0).integers(0, 255, (37, 8, 8, 1), np.uint8)
+    labels = np.arange(37, dtype=np.int32)
+
+    def collect():
+        loader = DeviceLoader([data, labels], batch_size=8, seed=3)
+        return [tuple(np.asarray(a) for a in b) for b in loader.epoch(0)]
+
+    async_batches = collect()
+    set_synchronous(True)
+    try:
+        sync_batches = collect()
+    finally:
+        set_synchronous(False)
+    assert len(async_batches) == len(sync_batches) == 37 // 8
+    for ba, bs in zip(async_batches, sync_batches):
+        for a, b in zip(ba, bs):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_debug_numerics_flag_wires_synchronous_pipeline():
+    from tpugan.data import loader
+    from tpugan.utils.config import config_from_args
+
+    assert not loader._SYNCHRONOUS
+    try:
+        parsed = config_from_args(gan.Config, ["--debug_numerics"])
+        assert parsed.debug_numerics
+        assert loader._SYNCHRONOUS
+    finally:
+        loader.set_synchronous(False)

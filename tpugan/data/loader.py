@@ -21,6 +21,17 @@ from typing import Callable, Iterator, Optional, Sequence
 import jax
 import numpy as np
 
+# Debug mode (--debug_numerics): run every loader synchronously on the
+# calling thread — no producer thread, no prefetch queue. The input
+# pipeline is the only concurrency in the framework (SURVEY.md §5 race
+# surface); this removes it entirely for bisecting host-side races.
+_SYNCHRONOUS = False
+
+
+def set_synchronous(on: bool) -> None:
+    global _SYNCHRONOUS
+    _SYNCHRONOUS = on
+
 
 class DeviceLoader:
     """Iterates device-resident batches over one or more aligned arrays.
@@ -82,6 +93,11 @@ class DeviceLoader:
         if epoch is None:
             epoch = self._epoch
             self._epoch += 1
+
+        if _SYNCHRONOUS or self.prefetch <= 0:
+            for batch in self._host_batches(epoch):
+                yield tuple(jax.device_put(a, self.sharding) for a in batch)
+            return
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

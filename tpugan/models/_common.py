@@ -37,15 +37,19 @@ def apply_mod(
     if has_stats:
         variables["batch_stats"] = batch_stats
     rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
-    if has_stats and train:
-        out, mut = module.apply(
-            variables, *args, train=train, mutable=["batch_stats"],
-            rngs=rngs, method=method, **kwargs,
+    # Name-scope every application so HLO dumps and profiler traces map
+    # ops back to model phases (SURVEY §5 tracing hook; the torch profiler
+    # shows module names natively — this is the XLA-side equivalent).
+    with jax.named_scope(type(module).__name__):
+        if has_stats and train:
+            out, mut = module.apply(
+                variables, *args, train=train, mutable=["batch_stats"],
+                rngs=rngs, method=method, **kwargs,
+            )
+            return out, mut["batch_stats"]
+        out = module.apply(
+            variables, *args, train=train, rngs=rngs, method=method, **kwargs
         )
-        return out, mut["batch_stats"]
-    out = module.apply(
-        variables, *args, train=train, rngs=rngs, method=method, **kwargs
-    )
     return out, batch_stats
 
 

@@ -114,6 +114,14 @@ class StepObserver:
         self._calls = 0
         if getattr(cfg, "debug_numerics", False):
             jax.config.update("jax_debug_nans", True)
+        port = getattr(cfg, "profile_port", 0)
+        if port:
+            # Live capture server for TensorBoard's profile UI; idempotent
+            # guard — jax raises if a server is already running (tests
+            # construct several observers in one process).
+            if not getattr(StepObserver, "_server_started", False):
+                jax.profiler.start_server(port)
+                StepObserver._server_started = True
 
     def profile_tick(self, out: dict) -> None:
         """Advance the profiling state machine by ONE DEVICE DISPATCH.

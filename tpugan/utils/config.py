@@ -57,7 +57,13 @@ class BaseConfig:
     profile_steps: int = flag(5, "number of steps to profile")
     # Debug mode: disable input prefetch + enable NaN checks (SURVEY.md §5
     # race-surface notes).
-    debug_numerics: bool = flag(False, "enable jax_debug_nans")
+    debug_numerics: bool = flag(
+        False, "synchronous input pipeline + jax_debug_nans"
+    )
+    # Live profiling: serve jax.profiler on this port for TensorBoard's
+    # capture-profile UI (0 = off). Complements --profile_dir's
+    # fixed-window trace (SURVEY.md §5 tracing hook).
+    profile_port: int = flag(0, "jax.profiler server port (0 = off)")
     # Fuse K optimizer steps into one device dispatch via lax.scan
     # (train/loop.py:scan_steps). Numerics identical to K single dispatches;
     # amortizes host->device dispatch latency for millisecond-class steps.
@@ -125,4 +131,8 @@ def config_from_args(cls: type, argv: Optional[Sequence[str]] = None):
         from tpugan.nn.layers import resolve_dtype, set_default_compute_dtype
 
         set_default_compute_dtype(resolve_dtype(cfg.dtype))
+    if getattr(cfg, "debug_numerics", False):
+        from tpugan.data.loader import set_synchronous
+
+        set_synchronous(True)
     return cfg
