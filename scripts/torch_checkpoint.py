@@ -46,7 +46,7 @@ def main() -> None:
 
     import torch
 
-    from tpugan.io.checkpoint import load_pytree, module_payload, save_pytree
+    from tpugan.io.checkpoint import load_module_payload, module_payload, save_pytree
     from tpugan.io.torch_interop import export_state_dict, import_state_dict
     from tpugan.models import registry
     from tpugan.utils.config import config_from_args
@@ -76,7 +76,7 @@ def main() -> None:
     else:
         if not (args.state and args.template):
             sys.exit("export requires --state and --template")
-        payload = load_pytree(module_payload(params, bs), args.state)
+        payload = load_module_payload(params, args.state, bs)
         template = torch.load(args.template, map_location="cpu")
         out_sd = export_state_dict(
             payload["params"], template, payload["batch_stats"] or None

@@ -114,3 +114,61 @@ def test_debug_numerics_flag_wires_synchronous_pipeline():
         assert loader._SYNCHRONOUS
     finally:
         loader.set_synchronous(False)
+
+
+def test_legacy_params_only_module_checkpoint_loads():
+    """Per-module .pth files written before running stats rode along are
+    plain params trees; load_module_payload must detect and accept them
+    (stats fall back to the template = pre-change behavior)."""
+    from tpugan.io.checkpoint import (
+        load_module_payload, load_modules, save_pytree,
+    )
+
+    cfg = gan.Config(batch_size=4, latent_dim=8)
+    state = gan.create_state(cfg)
+    import tempfile, os as _os
+
+    with tempfile.TemporaryDirectory() as d:
+        # Legacy writer: raw params tree, no payload wrapper.
+        save_pytree(state.params["generator"], _os.path.join(d, "generator_3.pth"))
+        payload = load_module_payload(
+            state.params["generator"],
+            _os.path.join(d, "generator_3.pth"),
+            state.model_state.get("generator"),
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.params["generator"]),
+            jax.tree_util.tree_leaves(payload["params"]),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # load_modules goes through the same fallback.
+        params, stats = load_modules(
+            {"generator": state.params["generator"]}, d, 3,
+            {"generator": state.model_state.get("generator")},
+        )
+        assert stats["generator"] is not None
+
+
+def test_loader_propagates_producer_exceptions():
+    """A host_transform failure mid-epoch must raise in the consumer, not
+    silently truncate the epoch (the producer thread used to turn any
+    exception into a normal end-of-queue sentinel)."""
+    import pytest
+
+    from tpugan.data.loader import DeviceLoader
+
+    data = np.zeros((32, 4, 4, 1), np.uint8)
+
+    def bad_transform(batch, epoch, b):
+        if b == 2:
+            raise RuntimeError("boom at batch 2")
+        return batch
+
+    loader = DeviceLoader(
+        [data], batch_size=8, shuffle=False, host_transform=bad_transform
+    )
+    seen = 0
+    with pytest.raises(RuntimeError, match="boom at batch 2"):
+        for batch in loader.epoch(0):
+            seen += 1
+    assert seen == 2

@@ -246,3 +246,93 @@ def test_embedding_heuristic_cgan():
     np.testing.assert_allclose(
         np.asarray(ours).reshape(2, -1), theirs, atol=2e-5
     )
+
+
+def test_context_encoder_generator_import_forward():
+    """Encoder-decoder order regression: torch walks all down-convs before
+    the up-conv-transposes, and several have identical (layout-transformed)
+    kernel shapes — pairing must follow the flax INSERTION (call) order,
+    not a name sort (ConvTranspose_* < Conv_*), or conv and conv-transpose
+    kernels cross-assign silently."""
+    from tpugan.models.context_encoder import CEGenerator
+
+    rm = _import_reference_models("context_encoder")
+    tg = _randomize(rm.Generator(channels=3), 6).eval()
+
+    G = CEGenerator(channels=3)
+    x = jnp.asarray(
+        np.random.default_rng(6).normal(0, 1, (1, 128, 128, 3)), jnp.float32
+    )
+    params, bs = init_module(G, jax.random.PRNGKey(7), x, train=False)
+    params, bs = import_state_dict(params, tg.state_dict(), bs)
+
+    ours, _ = apply_mod(G, params, bs, x, train=False)
+    with torch.no_grad():
+        theirs = _to_np(tg(_nhwc(x)))
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=5e-5)
+
+
+def test_srgan_generator_import_forward_and_export_roundtrip():
+    """PReLU regression: srgan's generator carries lone 1-D 'weight'
+    slopes (srgan/models.py:24) that must map to the flax scalar 'alpha'
+    params, not be mistaken for norm scales."""
+    from tpugan.nn.sr import SRGANGenerator
+
+    rm = _import_reference_models("srgan")
+    tg = _randomize(rm.GeneratorResNet(3, 3, n_residual_blocks=2), 8).eval()
+    sd = tg.state_dict()
+
+    G = SRGANGenerator(channels=3, n_residual_blocks=2)
+    x = jnp.asarray(
+        np.random.default_rng(8).normal(0, 1, (1, 24, 24, 3)), jnp.float32
+    )
+    params, bs = init_module(G, jax.random.PRNGKey(9), x, train=False)
+    params, bs = import_state_dict(params, sd, bs)
+
+    ours, _ = apply_mod(G, params, bs, x, train=False)
+    with torch.no_grad():
+        theirs = _to_np(tg(_nhwc(x)))
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=5e-5)
+
+    out = export_state_dict(params, sd, bs)
+    tg2 = rm.GeneratorResNet(3, 3, n_residual_blocks=2)
+    tg2.load_state_dict(out, strict=True)
+    for k in sd:
+        np.testing.assert_allclose(
+            out[k].numpy(), sd[k].numpy(), atol=1e-6, err_msg=k
+        )
+
+
+def test_conversion_cli_roundtrip(tmp_path):
+    """scripts/torch_checkpoint.py import -> export through the CLI
+    entrypoint reproduces the torch state_dict bit-for-bit."""
+    import runpy
+    import sys as _sys
+
+    rm = _import_reference_models("cyclegan")
+    tg = _randomize(rm.GeneratorResNet((3, 32, 32), 1), 10).eval()
+    src = str(tmp_path / "G_AB_0.pth")
+    torch.save(tg.state_dict(), src)
+    mid = str(tmp_path / "G_AB_0.tpugan.pth")
+    back = str(tmp_path / "G_AB_0.back.pth")
+
+    def run_cli(argv):
+        old = _sys.argv
+        _sys.argv = ["torch_checkpoint.py"] + argv
+        try:
+            runpy.run_path("scripts/torch_checkpoint.py", run_name="__main__")
+        finally:
+            _sys.argv = old
+
+    common = ["--model", "cyclegan", "--module", "G_AB",
+              "--n_residual_blocks", "1"]
+    run_cli(["import", "--torch_pth", src, "--out", mid] + common)
+    run_cli(["export", "--state", mid, "--template", src, "--out", back]
+            + common)
+    out_sd = torch.load(back, map_location="cpu")
+    ref_sd = tg.state_dict()
+    assert list(out_sd.keys()) == list(ref_sd.keys())
+    for k in ref_sd:
+        np.testing.assert_array_equal(
+            out_sd[k].numpy(), ref_sd[k].numpy(), err_msg=k
+        )

@@ -103,6 +103,9 @@ class DeviceLoader:
         stop = threading.Event()
 
         def producer():
+            # Exceptions (host_transform, native gather, device_put) ship
+            # to the consumer and re-raise there — a bare end-of-queue
+            # sentinel would silently truncate every epoch instead.
             try:
                 for batch in self._host_batches(epoch):
                     if stop.is_set():
@@ -111,8 +114,9 @@ class DeviceLoader:
                         jax.device_put(a, self.sharding) for a in batch
                     )
                     q.put(dev)
-            finally:
                 q.put(None)
+            except BaseException as e:  # noqa: BLE001 — relayed, not dropped
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -121,6 +125,8 @@ class DeviceLoader:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

@@ -44,6 +44,25 @@ def module_payload(params: Any, batch_stats: Any = None) -> dict:
     return {"params": params, "batch_stats": batch_stats or {}}
 
 
+def load_module_payload(
+    params_template: Any, path: str, stats_template: Any = None
+) -> dict:
+    """Load one per-module ``.pth`` file, accepting BOTH payload formats:
+    the current ``{params, batch_stats}`` wrapper and the legacy
+    params-only tree written before running stats rode along. Legacy files
+    load with ``batch_stats`` falling back to the template (fresh init) —
+    the pre-change behavior — instead of failing on key mismatch."""
+    with open(path, "rb") as f:
+        data = f.read()
+    raw = serialization.msgpack_restore(data)
+    if isinstance(raw, dict) and set(raw.keys()) == {"params", "batch_stats"}:
+        return serialization.from_bytes(
+            module_payload(params_template, stats_template), data
+        )
+    params = serialization.from_state_dict(params_template, raw)
+    return {"params": params, "batch_stats": stats_template or {}}
+
+
 def save_modules(
     params_by_name: dict,
     directory: str,
@@ -75,9 +94,10 @@ def load_modules(
     stats_template_by_name = stats_template_by_name or {}
     params_out, stats_out = {}, {}
     for name, template in template_by_name.items():
-        payload = load_pytree(
-            module_payload(template, stats_template_by_name.get(name)),
+        payload = load_module_payload(
+            template,
             os.path.join(directory, f"{name}_{epoch}.pth"),
+            stats_template_by_name.get(name),
         )
         params_out[name] = payload["params"]
         stats_out[name] = payload["batch_stats"]

@@ -13,11 +13,13 @@ Mechanism: every tpugan architecture mirrors its reference counterpart's
 layer sequence (pinned by the golden forward-parity tests), so pairing is
 by KIND and SHAPE in order: each torch entry, walked in state_dict order,
 claims the first unused tpugan leaf of the same kind whose (layout-
-transformed) shape matches. Shape disambiguates layers that flax's
-per-type auto-numbering orders differently from the call sequence (e.g.
-``Conv_3`` sorts before ``ResidualBlockIN_0`` but runs after it); ties —
-runs of identically-shaped layers such as residual stacks — resolve by
-natural DFS order, which within one scope prefix IS the call order.
+transformed) shape matches. The flax side walks params in INSERTION
+order — flax scopes are created in call order, so insertion order IS the
+layer sequence (sorting scope names naturally would NOT be: e.g.
+``ConvTranspose_0`` sorts before ``Conv_0`` while encoder-decoder models
+run all down-convs first, which cross-assigned identically-shaped conv
+and conv-transpose kernels). The shape gate still rejects any residual
+misalignment loudly rather than loading garbage.
 Layout transforms per kind (tests/test_golden_parity.py conventions):
 
   conv / conv-transpose weight  torch OIHW / IOHW  <- transpose(3,2,0,1) ->
@@ -37,25 +39,18 @@ emitted as zeros on export (the reference never reads them).
 
 from __future__ import annotations
 
-import re
 from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
 
-def _natural(key: str):
-    """Sort key for flax auto-names: Conv_2 < Conv_10."""
-    return [
-        int(p) if p.isdigit() else p for p in re.split(r"(\d+)", key)
-    ]
-
-
 def _walk(tree: Dict, prefix: Tuple[str, ...] = ()):
-    """DFS over a nested param dict in natural key order, yielding
-    (path, leaf_array) pairs. Natural order at each level preserves the
-    module-definition sequence flax's auto-numbering encodes."""
-    for k in sorted(tree.keys(), key=_natural):
-        v = tree[k]
+    """DFS over a nested param dict in INSERTION order, yielding
+    (path, leaf_array) pairs. Flax creates scopes in call order during
+    ``init`` and dict order survives (de)serialization against an
+    init-derived template, so insertion order is the module call
+    sequence — unlike any name sort (``ConvTranspose_0`` < ``Conv_0``)."""
+    for k, v in tree.items():
         if isinstance(v, dict):
             yield from _walk(v, prefix + (k,))
         else:
@@ -68,6 +63,7 @@ def _collect_flax(params: Dict) -> Dict[str, List[Tuple[tuple, Any]]]:
         "conv_kernel": [], "conv_bias": [],
         "linear_kernel": [], "linear_bias": [],
         "embedding": [], "norm_scale": [], "norm_bias": [],
+        "prelu": [],
     }
     leaves = list(_walk(params))
     biases = []
@@ -82,6 +78,10 @@ def _collect_flax(params: Dict) -> Dict[str, List[Tuple[tuple, Any]]]:
             groups["embedding"].append((path, leaf))
         elif name == "scale":
             groups["norm_scale"].append((path, leaf))
+        elif name == "alpha":
+            # PReLU slope (nn/layers.py:PReLU) — torch stores it as a 1-D
+            # 'weight' with no sibling bias (srgan/models.py:24).
+            groups["prelu"].append((path, leaf))
         elif name == "bias":
             biases.append((path, leaf))
         else:
@@ -126,7 +126,10 @@ def _classify_torch(sd) -> List[Tuple[str, str]]:
             has_bias = (scope + ".bias" if scope else "bias") in sd
             out.append((k, "linear_kernel" if has_bias else "embedding"))
         elif base == "weight" and nd == 1:
-            out.append((k, "norm_scale"))
+            # Affine norms always carry a sibling bias in the reference
+            # zoo; a lone 1-D weight is a PReLU slope (srgan/models.py:24).
+            has_bias = (scope + ".bias" if scope else "bias") in sd
+            out.append((k, "norm_scale" if has_bias else "prelu"))
         elif base == "bias":
             # Bias kind follows its scope's weight kind.
             wkey = (scope + ".weight") if scope else "weight"
@@ -144,6 +147,8 @@ def _to_flax(kind: str, t: np.ndarray) -> np.ndarray:
         return t.transpose(2, 3, 1, 0)  # OIHW/IOHW -> HWIO/HWOI
     if kind == "linear_kernel":
         return t.T
+    if kind == "prelu":
+        return t.reshape(())  # torch (1,) -> flax scalar alpha
     return t
 
 
@@ -152,6 +157,8 @@ def _to_torch(kind: str, a: np.ndarray) -> np.ndarray:
         return a.transpose(3, 2, 0, 1)
     if kind == "linear_kernel":
         return a.T
+    if kind == "prelu":
+        return a.reshape((1,))
     return a
 
 

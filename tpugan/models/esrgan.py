@@ -30,7 +30,7 @@ import optax
 
 from tpugan.data import DeviceLoader
 from tpugan.data.im2im import celeba_images_or_synthetic
-from tpugan.io.checkpoint import load_modules, load_pytree, save_modules
+from tpugan.io.checkpoint import load_modules, save_modules
 from tpugan.io.images import save_image
 from tpugan.losses import bce_with_logits, l1
 from tpugan.models._common import apply_mod, init_module
@@ -365,11 +365,9 @@ def infer_image(cfg: TestOnImageConfig):
     ) / 255.0
     x = imagenet_normalize(jnp.asarray(img))[None]
     template, _ = init_module(G, jax.random.PRNGKey(0), x)
-    from tpugan.io.checkpoint import module_payload
+    from tpugan.io.checkpoint import load_module_payload
 
-    params = load_pytree(
-        module_payload(template), cfg.checkpoint_model
-    )["params"]
+    params = load_module_payload(template, cfg.checkpoint_model)["params"]
     sr, _ = apply_mod(G, params, None, x)
     sr = imagenet_denormalize(sr)
     outdir = os.path.join(cfg.output_dir, "images", "outputs")

@@ -162,6 +162,29 @@ class ConvTranspose(nn.Module):
     def __call__(self, x):
         k, s, p = self.kernel_size, self.stride, self.padding
         fan_in = self.features * k * k  # torch ConvTranspose fan_in quirk
+        # The param tree is IDENTICAL regardless of input size or code
+        # path: this module owns `kernel`/`bias` directly (HWOI — the
+        # lax.conv_transpose(transpose_kernel=True) layout, matching torch
+        # IOHW under the interop transpose). An input-size-dependent
+        # structure (an earlier revision nested the slow path's params in
+        # a flax nn.ConvTranspose child scope) breaks checkpoint/template
+        # matching across --img_size values within one architecture.
+        kernel = self.param(
+            "kernel", _weight_init(self.init_mode, fan_in),
+            (k, k, self.features, x.shape[-1]),
+        )
+        bias = (
+            self.param(
+                "bias", _bias_init(self.init_mode, fan_in), (self.features,)
+            )
+            if self.use_bias
+            else None
+        )
+        dt = _compute_dtype(self.dtype)
+        if dt is not None:
+            x = x.astype(dt)
+            kernel = kernel.astype(dt)
+            bias = None if bias is None else bias.astype(dt)
         if (k, s, p) == (4, 2, 1) and x.shape[1] * x.shape[2] >= 1024:
             # The zoo's hot configuration (every U-Net up block): use the
             # kernel-segregated decomposition — four dense 2x2 convs instead
@@ -173,40 +196,16 @@ class ConvTranspose(nn.Module):
             # so the gate never changes numerics, only the schedule).
             from tpugan.ops.conv_transpose import conv_transpose_s2k4p1
 
-            kernel = self.param(
-                "kernel", _weight_init(self.init_mode, fan_in),
-                (4, 4, self.features, x.shape[-1]),
-            )
-            bias = (
-                self.param(
-                    "bias", _bias_init(self.init_mode, fan_in),
-                    (self.features,),
-                )
-                if self.use_bias
-                else None
-            )
-            dt = _compute_dtype(self.dtype)
-            if dt is not None:
-                y = conv_transpose_s2k4p1(
-                    x.astype(dt), kernel.astype(dt),
-                    None if bias is None else bias.astype(dt),
-                )
-            else:
-                y = conv_transpose_s2k4p1(x, kernel, bias)
-            return y
-        y = nn.ConvTranspose(
-            self.features,
-            kernel_size=(k, k),
-            strides=(s, s),
+            return conv_transpose_s2k4p1(x, kernel, bias)
+        y = jax.lax.conv_transpose(
+            x, kernel, (s, s),
             padding=[(k - 1 - p, k - 1 - p)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
             transpose_kernel=True,
-            use_bias=self.use_bias,
-            kernel_init=_weight_init(self.init_mode, fan_in),
-            bias_init=_bias_init(self.init_mode, fan_in),
-            dtype=_compute_dtype(self.dtype),
-        )(x)
-        # torch output size: (in-1)*s - 2p + k ; trim/assert if flax differs.
-        b, h_in = x.shape[0], x.shape[1]
+        )
+        if bias is not None:
+            y = y + bias
+        # torch output size: (in-1)*s - 2p + k ; trim if lax differs.
         want_h = (x.shape[1] - 1) * s - 2 * p + k
         want_w = (x.shape[2] - 1) * s - 2 * p + k
         if y.shape[1] != want_h or y.shape[2] != want_w:

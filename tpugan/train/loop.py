@@ -102,26 +102,51 @@ class StepObserver:
     Profiling is call-count based (trace covers observed steps [1, 1+N)),
     so it works on resumed runs where batches_done starts high."""
 
-    def __init__(self, cfg):
+    def __init__(self, cfg, supports_fused_dispatch: bool = False):
+        # Recipes with bespoke epoch loops (the im2im/SR families, the
+        # critic-gated wgan loops, bicyclegan's two-phase host logic)
+        # dispatch one step per device call; every such loop constructs a
+        # StepObserver, so warn here rather than silently ignoring the
+        # flag. run_training (the only fused-capable loop) opts out.
+        if (
+            not supports_fused_dispatch
+            and getattr(cfg, "steps_per_dispatch", 1) > 1
+        ):
+            print(
+                "[tpugan] --steps_per_dispatch is not supported by this "
+                "recipe's training loop (per-step host logic); running "
+                "one step per dispatch"
+            )
         self.sink = (
             MetricsSink(cfg.metrics_jsonl)
             if getattr(cfg, "metrics_jsonl", "")
             else None
         )
         self.profile_dir = getattr(cfg, "profile_dir", "")
-        self.profile_steps = getattr(cfg, "profile_steps", 5)
+        # --profile_steps counts OPTIMIZER steps; under --steps_per_dispatch
+        # K each dispatch covers K of them, so trace ceil(steps/K)
+        # dispatches (profile_tick advances per dispatch).
+        k = max(1, getattr(cfg, "steps_per_dispatch", 1))
+        steps = getattr(cfg, "profile_steps", 5)
+        self.profile_dispatches = max(1, -(-steps // k))
         self._profiling = False
         self._calls = 0
         if getattr(cfg, "debug_numerics", False):
             jax.config.update("jax_debug_nans", True)
         port = getattr(cfg, "profile_port", 0)
         if port:
-            # Live capture server for TensorBoard's profile UI; idempotent
-            # guard — jax raises if a server is already running (tests
-            # construct several observers in one process).
-            if not getattr(StepObserver, "_server_started", False):
+            # Live capture server for TensorBoard's profile UI. jax allows
+            # only one server per process: start it once, and say so out
+            # loud if a later config asks for a different port.
+            started = getattr(StepObserver, "_server_port", None)
+            if started is None:
                 jax.profiler.start_server(port)
-                StepObserver._server_started = True
+                StepObserver._server_port = port
+            elif started != port:
+                print(
+                    f"[tpugan] profiler server already on port {started}; "
+                    f"--profile_port {port} ignored (one server/process)"
+                )
 
     def profile_tick(self, out: dict) -> None:
         """Advance the profiling state machine by ONE DEVICE DISPATCH.
@@ -133,7 +158,7 @@ class StepObserver:
         if self.profile_dir and self._calls == 1 and not self._profiling:
             jax.profiler.start_trace(self.profile_dir)
             self._profiling = True
-        if self._profiling and self._calls >= 1 + self.profile_steps:
+        if self._profiling and self._calls >= 1 + self.profile_dispatches:
             jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
             jax.profiler.stop_trace()
             self._profiling = False
@@ -184,7 +209,7 @@ def run_training(
         if (jit and k > 1)
         else None
     )
-    observer = StepObserver(cfg)
+    observer = StepObserver(cfg, supports_fused_dispatch=True)
 
     def after_step(state, out, epoch, i, dispatch=True):
         batches_done = epoch * bpe + i
