@@ -83,3 +83,31 @@ def test_non_hot_configs_keep_lax_path():
     variables = layer.init(jax.random.PRNGKey(0), x)
     y = layer.apply(variables, x)
     assert y.shape == (1, 9, 9, 3)  # (5-1)*2 - 2 + 3
+
+
+def test_param_tree_structure_independent_of_input_size():
+    """The fast/slow path gate (>=32x32 spatial) must never change WHERE
+    params live: checkpoints and interop templates are built at one
+    --img_size and loaded at another."""
+    from tpugan.nn.layers import ConvTranspose
+
+    m = ConvTranspose(16, 4, 2, 1)
+    small = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 8)))
+    large = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 8)))
+
+    def paths(tree, pre=()):
+        out = []
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out += paths(v, pre + (k,))
+            else:
+                out.append(pre + (k,))
+        return out
+
+    assert paths(dict(small["params"])) == paths(dict(large["params"]))
+    # Same init RNG stream too: identical seeds give identical values.
+    for a, b in zip(
+        jax.tree_util.tree_leaves(small["params"]),
+        jax.tree_util.tree_leaves(large["params"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
