@@ -1,7 +1,9 @@
 #!/bin/bash
 # End-to-end smoke of every trainer on the real TPU chip: short synthetic
 # run, reference-format logs, sample PNGs. Run from an empty scratch dir:
-#   cd "$(mktemp -d)" && PYTHONPATH=/root/repo bash /root/repo/scripts/verify_all_tpu.sh
+#   cd "$(mktemp -d)" && PYTHONPATH=/root/repo:$PYTHONPATH bash /root/repo/scripts/verify_all_tpu.sh
+# (APPEND to PYTHONPATH — the axon sitecustomize lives on the existing path;
+# overwriting it leaves jax without the TPU backend)
 # One model at a time (the chip serializes processes); axon compiles are
 # slow/variable — per-model timeout 1500 s. Prints PASS/FAIL per model.
 
