@@ -57,3 +57,75 @@ def test_eligibility_rules():
     # On CPU the backend gate keeps the XLA path even for eligible shapes.
     x = jnp.zeros((2, 8, 8, 128))
     assert pallas_eligible(x) == (jax.default_backend() == "tpu")
+
+
+def test_in_act_forward_and_grad_parity():
+    """Fused IN+activation == XLA IN followed by leaky-relu, forward and
+    gradient, for identity/relu/leaky slopes."""
+    from tpugan.ops.pallas_kernels import instance_norm_act_pallas
+
+    x = _x(seed=3)
+    for slope in (1.0, 0.0, 0.2):
+        def ref(z):
+            y = instance_norm_xla(z)
+            return jnp.sum(jnp.where(y >= 0, y, slope * y) ** 2)
+
+        def fused(z):
+            return jnp.sum(
+                instance_norm_act_pallas(z, 1e-5, slope, True) ** 2
+            )
+
+        np.testing.assert_allclose(
+            float(fused(x)), float(ref(x)), rtol=1e-5
+        )
+        ga = jax.grad(fused)(x)
+        gb = jax.grad(ref)(x)
+        np.testing.assert_allclose(
+            np.asarray(ga), np.asarray(gb), atol=1e-4, rtol=1e-4
+        )
+
+
+def test_adain_forward_and_grad_parity():
+    """Fused AdaIN == the XLA reference (nn/style.py math), forward and
+    gradients wrt x, weight, and bias."""
+    from tpugan.ops.pallas_kernels import adain_pallas
+
+    b, c = 2, 128
+    x = _x(b=b, c=c, seed=4)
+    rng = np.random.default_rng(5)
+    w = jnp.asarray(rng.normal(1.0, 0.3, (b, c)), jnp.float32)
+    bias = jnp.asarray(rng.normal(0.0, 0.3, (b, c)), jnp.float32)
+
+    def ref(z, wt, bs):
+        mean = jnp.mean(z, axis=(1, 2), keepdims=True)
+        var = jnp.var(z, axis=(1, 2), keepdims=True)
+        y = (z - mean) * jax.lax.rsqrt(var + 1e-5)
+        y = y * wt[:, None, None, :] + bs[:, None, None, :]
+        return jnp.sum(y ** 2)
+
+    def fused(z, wt, bs):
+        return jnp.sum(adain_pallas(z, wt, bs, 1e-5, True) ** 2)
+
+    np.testing.assert_allclose(
+        float(fused(x, w, bias)), float(ref(x, w, bias)), rtol=1e-5
+    )
+    for argnum in (0, 1, 2):
+        ga = jax.grad(fused, argnum)(x, w, bias)
+        gb = jax.grad(ref, argnum)(x, w, bias)
+        np.testing.assert_allclose(
+            np.asarray(ga), np.asarray(gb), atol=2e-4, rtol=1e-4,
+            err_msg=f"argnum {argnum}",
+        )
+
+
+def test_in_act_dispatcher_xla_path_matches_module_composition():
+    """With Pallas off (the default), instance_norm_act must be bit-identical
+    to the InstanceNorm-then-activation composition it replaced inside
+    ResidualBlockIN/GeneratorResNet/PatchGAN."""
+    from tpugan.ops.pallas_kernels import instance_norm_act
+
+    x = _x(c=3, seed=6)  # c=3: ineligible for Pallas even if opted in
+    got = instance_norm_act(x, 0.2)
+    y = instance_norm_xla(x)
+    want = jnp.where(y >= 0, y, 0.2 * y)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

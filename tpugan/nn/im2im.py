@@ -135,10 +135,11 @@ class ResidualBlockIN(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         del train
+        from tpugan.ops.pallas_kernels import instance_norm_act
+
         y = reflection_pad(x, 1)
         y = Conv(self.features, 3, 1, 0, init_mode=self.init_mode)(y)
-        y = InstanceNorm()(y)
-        y = nn.relu(y)
+        y = instance_norm_act(y, 0.0)  # fused IN+ReLU under TPUGAN_PALLAS=1
         y = reflection_pad(y, 1)
         y = Conv(self.features, 3, 1, 0, init_mode=self.init_mode)(y)
         y = InstanceNorm()(y)
@@ -158,26 +159,25 @@ class GeneratorResNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         del train
+        from tpugan.ops.pallas_kernels import instance_norm_act
+
         im = self.init_mode
         c = self.channels
         y = reflection_pad(x, c)
         y = Conv(64, 7, 1, 0, init_mode=im)(y)
-        y = InstanceNorm()(y)
-        y = nn.relu(y)
+        y = instance_norm_act(y, 0.0)  # fused IN+ReLU under TPUGAN_PALLAS=1
         feats = 64
         for _ in range(2):
             feats *= 2
             y = Conv(feats, 3, 2, 1, init_mode=im)(y)
-            y = InstanceNorm()(y)
-            y = nn.relu(y)
+            y = instance_norm_act(y, 0.0)
         for _ in range(self.num_residual_blocks):
             y = ResidualBlockIN(feats, init_mode=im)(y)
         for _ in range(2):
             feats //= 2
             y = Upsample(2)(y)
             y = Conv(feats, 3, 1, 1, init_mode=im)(y)
-            y = InstanceNorm()(y)
-            y = nn.relu(y)
+            y = instance_norm_act(y, 0.0)
         y = reflection_pad(y, c)
         y = Conv(c, 7, 1, 0, init_mode=im)(y)
         return jnp.tanh(y)
@@ -205,10 +205,16 @@ class PatchGAN(nn.Module):
         x = img
         for i, f in enumerate(self.filters):
             x = Conv(f, 4, 2, 1, init_mode=self.init_mode)(x)
+            if i > 0 and self.norm == "instance":
+                # Stat-free IN + LeakyReLU tail: one fused kernel under
+                # TPUGAN_PALLAS=1 (ops/pallas_kernels.py), XLA composition
+                # otherwise — bit-identical either way.
+                from tpugan.ops.pallas_kernels import instance_norm_act
+
+                x = instance_norm_act(x, 0.2)
+                continue
             if i > 0:
-                if self.norm == "instance":
-                    x = InstanceNorm()(x)
-                elif self.norm == "batch08":
+                if self.norm == "batch08":
                     from tpugan.nn.layers import BatchNorm
 
                     x = BatchNorm(eps=0.8, init_mode=self.init_mode)(

@@ -34,7 +34,14 @@ def adain(x: jax.Array, weight: jax.Array, bias: jax.Array, eps: float = 1e-5):
     """AdaptiveInstanceNorm2d (munit/models.py:283-298): instance-normalize
     per (sample, channel) over (H, W) with biased variance (F.batch_norm
     training mode), then scale/shift by the per-sample style prediction.
-    weight/bias: (B, C)."""
+    weight/bias: (B, C). Dispatches to the fused single-VMEM-pass Pallas
+    kernel under TPUGAN_PALLAS=1 (ops/pallas_kernels.py:adain_pallas)."""
+    import os
+
+    from tpugan.ops.pallas_kernels import adain_pallas, pallas_eligible
+
+    if os.environ.get("TPUGAN_PALLAS", "0") == "1" and pallas_eligible(x):
+        return adain_pallas(x, weight, bias, eps)
     mean = jnp.mean(x, axis=(1, 2), keepdims=True)
     var = jnp.var(x, axis=(1, 2), keepdims=True)
     y = (x - mean) * jax.lax.rsqrt(var + eps)

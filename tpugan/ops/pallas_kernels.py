@@ -170,3 +170,227 @@ def instance_norm(x, eps: float = 1e-5):
     if os.environ.get("TPUGAN_PALLAS", "0") == "1" and pallas_eligible(x):
         return instance_norm_pallas(x, eps)
     return instance_norm_xla(x, eps)
+
+
+# ---------------------------------------------------------------------------
+# Fused instance-norm + activation.
+#
+# The generator/discriminator chains of the im2im family are Conv -> IN ->
+# (Leaky)ReLU; the profiled 256px CycleGAN step (BASELINE.md) is HBM-bound
+# in exactly these elementwise stretches. Fusing the activation into the
+# norm kernel removes one full feature-map read+write per layer. ``slope``
+# selects the activation: 1.0 = identity, 0.0 = ReLU, 0.2 = LeakyReLU(0.2)
+# (leaky-relu with slope s generalizes all three).
+# ---------------------------------------------------------------------------
+
+
+def _in_act_fwd_kernel(x_ref, o_ref, mean_ref, rstd_ref, *, eps, slope):
+    x = x_ref[0]  # (HW, C)
+    mean = jnp.mean(x, axis=0, keepdims=True)
+    var = jnp.mean((x - mean) ** 2, axis=0, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (x - mean) * rstd
+    o_ref[0] = jnp.where(xhat >= 0, xhat, slope * xhat)
+    mean_ref[0] = mean
+    rstd_ref[0] = rstd
+
+
+def _in_act_bwd_kernel(g_ref, x_ref, mean_ref, rstd_ref, dx_ref, *, slope):
+    g = g_ref[0]
+    x = x_ref[0]
+    mean = mean_ref[0]
+    rstd = rstd_ref[0]
+    xhat = (x - mean) * rstd
+    gh = g * jnp.where(xhat >= 0, 1.0, slope)  # through the activation
+    gh_mean = jnp.mean(gh, axis=0, keepdims=True)
+    ghx_mean = jnp.mean(gh * xhat, axis=0, keepdims=True)
+    dx_ref[0] = (gh - gh_mean - xhat * ghx_mean) * rstd
+
+
+def _in_act_fwd_call(x3, eps, slope, interpret):
+    b, hw, c = x3.shape
+    big = lambda: pl.BlockSpec(
+        (1, hw, c), lambda i: (i, 0, 0),
+        memory_space=pl.ANY if interpret else pltpu.VMEM,
+    )
+    small = lambda: pl.BlockSpec(
+        (1, 1, c), lambda i: (i, 0, 0),
+        memory_space=pl.ANY if interpret else pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        functools.partial(_in_act_fwd_kernel, eps=eps, slope=slope),
+        grid=(b,),
+        in_specs=[big()],
+        out_specs=[big(), small(), small()],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hw, c), x3.dtype),
+            jax.ShapeDtypeStruct((b, 1, c), x3.dtype),
+            jax.ShapeDtypeStruct((b, 1, c), x3.dtype),
+        ],
+        interpret=interpret,
+    )(x3)
+
+
+def _in_act_bwd_call(g3, x3, mean, rstd, slope, interpret):
+    b, hw, c = x3.shape
+    big = lambda: pl.BlockSpec(
+        (1, hw, c), lambda i: (i, 0, 0),
+        memory_space=pl.ANY if interpret else pltpu.VMEM,
+    )
+    small = lambda: pl.BlockSpec(
+        (1, 1, c), lambda i: (i, 0, 0),
+        memory_space=pl.ANY if interpret else pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        functools.partial(_in_act_bwd_kernel, slope=slope),
+        grid=(b,),
+        in_specs=[big(), big(), small(), small()],
+        out_specs=big(),
+        out_shape=jax.ShapeDtypeStruct((b, hw, c), x3.dtype),
+        interpret=interpret,
+    )(g3, x3, mean, rstd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def instance_norm_act_pallas(
+    x, eps: float = 1e-5, slope: float = 1.0, interpret: bool = False
+):
+    """Fused IN + leaky-relu(slope) on NHWC; one VMEM pass per sample."""
+    b, h, w, c = x.shape
+    y, _, _ = _in_act_fwd_call(x.reshape(b, h * w, c), eps, slope, interpret)
+    return y.reshape(b, h, w, c)
+
+
+def _in_act_fwd(x, eps, slope, interpret):
+    b, h, w, c = x.shape
+    x3 = x.reshape(b, h * w, c)
+    y, mean, rstd = _in_act_fwd_call(x3, eps, slope, interpret)
+    return y.reshape(b, h, w, c), (x3, mean, rstd)
+
+
+def _in_act_bwd(eps, slope, interpret, res, g):
+    x3, mean, rstd = res
+    b, hw, c = x3.shape
+    dx = _in_act_bwd_call(g.reshape(b, hw, c), x3, mean, rstd, slope, interpret)
+    return (dx.reshape(g.shape),)
+
+
+instance_norm_act_pallas.defvjp(_in_act_fwd, _in_act_bwd)
+
+
+def instance_norm_act(x, slope: float, eps: float = 1e-5):
+    """Dispatcher for the Conv->IN->(Leaky)ReLU chain tail: fused Pallas
+    kernel when opted in + eligible, else the XLA reference composition
+    (identical semantics — XLA also fuses these, just with extra HBM
+    round-trips at 256px feature-map sizes)."""
+    import os
+
+    if os.environ.get("TPUGAN_PALLAS", "0") == "1" and pallas_eligible(x):
+        return instance_norm_act_pallas(x, eps, slope)
+    y = instance_norm_xla(x, eps)
+    return jnp.where(y >= 0, y, slope * y)
+
+
+# ---------------------------------------------------------------------------
+# Fused AdaIN (munit/models.py:283-298): instance-normalize, then scale and
+# shift by the per-sample style prediction — weight/bias are (B, C).
+# ---------------------------------------------------------------------------
+
+
+def _adain_fwd_kernel(x_ref, w_ref, b_ref, o_ref, mean_ref, rstd_ref, *, eps):
+    x = x_ref[0]
+    mean = jnp.mean(x, axis=0, keepdims=True)
+    var = jnp.mean((x - mean) ** 2, axis=0, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (x - mean) * rstd
+    o_ref[0] = xhat * w_ref[0] + b_ref[0]
+    mean_ref[0] = mean
+    rstd_ref[0] = rstd
+
+
+def _adain_bwd_kernel(
+    g_ref, x_ref, w_ref, mean_ref, rstd_ref, dx_ref, dw_ref, db_ref
+):
+    g = g_ref[0]
+    x = x_ref[0]
+    mean = mean_ref[0]
+    rstd = rstd_ref[0]
+    xhat = (x - mean) * rstd
+    dw_ref[0] = jnp.sum(g * xhat, axis=0, keepdims=True)
+    db_ref[0] = jnp.sum(g, axis=0, keepdims=True)
+    gh = g * w_ref[0]  # through the affine
+    gh_mean = jnp.mean(gh, axis=0, keepdims=True)
+    ghx_mean = jnp.mean(gh * xhat, axis=0, keepdims=True)
+    dx_ref[0] = (gh - gh_mean - xhat * ghx_mean) * rstd
+
+
+def _adain_specs(b, hw, c, interpret):
+    space = pl.ANY if interpret else pltpu.VMEM
+    big = lambda: pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0), memory_space=space)
+    small = lambda: pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0), memory_space=space)
+    return big, small
+
+
+def _adain_fwd_call(x3, w3, b3, eps, interpret):
+    b, hw, c = x3.shape
+    big, small = _adain_specs(b, hw, c, interpret)
+    return pl.pallas_call(
+        functools.partial(_adain_fwd_kernel, eps=eps),
+        grid=(b,),
+        in_specs=[big(), small(), small()],
+        out_specs=[big(), small(), small()],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hw, c), x3.dtype),
+            jax.ShapeDtypeStruct((b, 1, c), x3.dtype),
+            jax.ShapeDtypeStruct((b, 1, c), x3.dtype),
+        ],
+        interpret=interpret,
+    )(x3, w3, b3)
+
+
+def _adain_bwd_call(g3, x3, w3, mean, rstd, interpret):
+    b, hw, c = x3.shape
+    big, small = _adain_specs(b, hw, c, interpret)
+    return pl.pallas_call(
+        _adain_bwd_kernel,
+        grid=(b,),
+        in_specs=[big(), big(), small(), small(), small()],
+        out_specs=[big(), small(), small()],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hw, c), x3.dtype),
+            jax.ShapeDtypeStruct((b, 1, c), x3.dtype),
+            jax.ShapeDtypeStruct((b, 1, c), x3.dtype),
+        ],
+        interpret=interpret,
+    )(g3, x3, w3, mean, rstd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def adain_pallas(x, weight, bias, eps: float = 1e-5, interpret: bool = False):
+    """Fused AdaIN on NHWC; weight/bias (B, C)."""
+    b, h, w, c = x.shape
+    y, _, _ = _adain_fwd_call(
+        x.reshape(b, h * w, c),
+        weight.reshape(b, 1, c), bias.reshape(b, 1, c), eps, interpret,
+    )
+    return y.reshape(b, h, w, c)
+
+
+def _adain_fwd(x, weight, bias, eps, interpret):
+    b, h, w, c = x.shape
+    x3 = x.reshape(b, h * w, c)
+    w3 = weight.reshape(b, 1, c)
+    y, mean, rstd = _adain_fwd_call(x3, w3, bias.reshape(b, 1, c), eps, interpret)
+    return y.reshape(b, h, w, c), (x3, w3, mean, rstd)
+
+
+def _adain_bwd(eps, interpret, res, g):
+    x3, w3, mean, rstd = res
+    b, hw, c = x3.shape
+    dx, dw, db = _adain_bwd_call(
+        g.reshape(b, hw, c), x3, w3, mean, rstd, interpret
+    )
+    return (dx.reshape(g.shape), dw.reshape(b, c), db.reshape(b, c))
+
+
+adain_pallas.defvjp(_adain_fwd, _adain_bwd)
