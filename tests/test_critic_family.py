@@ -88,3 +88,30 @@ def test_dragan_step_and_quirk_mode():
         state, out = step(state, imgs, labels)
         assert np.isfinite(float(out["d_loss"]))
         assert np.isfinite(float(out["g_loss"]))
+
+
+def test_gp_gradients_finite_when_critic_gradient_is_zero():
+    """torch Tensor.norm has subgradient 0 at 0; a plain jnp.sqrt would
+    turn a critic dead-zone (dD/dx == 0) into NaN parameter gradients and
+    permanently poison the run (ops/penalty.py:_safe_sqrt)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpugan.ops.penalty import dragan_penalty, wgan_gp_penalty
+
+    real = jnp.ones((2, 4, 4, 1))
+    fake = jnp.zeros((2, 4, 4, 1))
+    rng = jax.random.PRNGKey(0)
+
+    def loss(theta):
+        # Critic constant in its input -> dD/dx identically zero; theta
+        # still reaches the output so there is a parameter gradient path.
+        d_fn = lambda x: jnp.sum(x * 0.0) + theta * jnp.ones((x.shape[0],))
+        return wgan_gp_penalty(d_fn, real, fake, rng) + dragan_penalty(
+            d_fn, real, rng
+        )
+
+    g = jax.grad(loss)(jnp.float32(0.5))
+    assert np.isfinite(float(g)), "NaN-poisoned gradient at zero norm"
+    # Penalty values themselves: ||0|| - 1 squared = 1 each.
+    np.testing.assert_allclose(float(loss(jnp.float32(0.5))), 2.0, atol=1e-6)

@@ -114,3 +114,13 @@ def test_zip_loader_independent_shuffles():
     la = np.concatenate([np.asarray(b[1]) for b in batches])
     lb = np.concatenate([np.asarray(b[3]) for b in batches])
     assert not np.array_equal(la, lb)
+
+
+def test_synthetic_mnistm_handles_non_multiple_of_4_sizes():
+    """Regression: the coarse 4x-repeated background must cover (h, w)
+    for any size, not just multiples of 4 (data/sources.py)."""
+    from tpugan.data.sources import synthetic_image_dataset
+
+    base = synthetic_image_dataset(4, img_size=30, channels=1, seed=0)
+    out = synthetic_mnistm_like(base, seed=0)
+    assert out.images.shape == (4, 30, 30, 3)

@@ -9,7 +9,6 @@ import pytest
 from tpugan.data.im2im import (
     joint_hflip_transform,
     synthetic_scene_pairs,
-    unpaired_shuffle_transform,
 )
 from tpugan.models import cyclegan, pix2pix
 from tpugan.train.replay import replay_init, replay_push_and_pop
@@ -37,15 +36,6 @@ def test_joint_hflip_flips_both_domains_identically():
     fa, fb = t((a, a.copy()), 0, 0)
     assert np.array_equal(fa, a[:, :, ::-1])
     assert np.array_equal(fa, fb)
-
-
-def test_unpaired_shuffle_only_permutes_b():
-    a = np.arange(8, dtype=np.uint8).reshape(8, 1, 1, 1)
-    b = a.copy()
-    t = unpaired_shuffle_transform(seed=1)
-    oa, ob = t((a, b), 0, 0)
-    assert np.array_equal(oa, a)
-    assert sorted(ob.ravel().tolist()) == list(range(8))
 
 
 def test_synthetic_scene_pairs_are_correlated():

@@ -292,13 +292,24 @@ def celeba_images_or_synthetic(
 ) -> Tuple[np.ndarray, bool]:
     """Plain CelebA-style image folder (no attributes) with the
     context_encoder split rule: last ``val_tail`` files are the val set
-    (context_encoder/datasets.py:17-18). Falls back to the procedural
-    attr-face generator's images."""
+    (context_encoder/datasets.py:17-18). Documented deviation: for folders
+    with <= val_tail images the reference's slice leaves an EMPTY train
+    set; here the tail shrinks to 10% (min 1) so both splits are non-empty
+    and never overlap. Falls back to the procedural attr-face images."""
     if not synthetic:
         imgs = _load_folder(os.path.join(data_dir, dataset_name), height, width)
         if imgs is not None and len(imgs) > 0:
-            if len(imgs) > val_tail:
-                imgs = imgs[:-val_tail] if mode == "train" else imgs[-val_tail:]
+            if len(imgs) == 1:
+                return imgs, True  # degenerate folder: share the one image
+            tail = val_tail
+            if len(imgs) <= val_tail:
+                tail = max(1, len(imgs) // 10)
+                print(
+                    f"[tpugan] {dataset_name}: only {len(imgs)} images — "
+                    f"val split shrunk to the last {tail} (reference slice "
+                    f"would leave an empty train set)"
+                )
+            imgs = imgs[:-tail] if mode == "train" else imgs[-tail:]
             return imgs, True
     imgs, _ = synthetic_attr_faces(
         synthetic_n, height, width, 5,
@@ -316,23 +327,6 @@ def joint_hflip_transform(seed: int, prob: float = 0.5, indices=(0, 1)):
         flips = rng.random(len(batch[0])) < prob
         out = list(batch)
         for i in indices:
-            arr = out[i].copy()
-            arr[flips] = arr[flips, :, ::-1]
-            out[i] = arr
-        return tuple(out)
-
-    return transform
-
-
-def independent_hflip_transform(seed: int, prob: float = 0.5, indices=(0, 1)):
-    """Per-domain independent flips (unpaired pipelines apply RandomHFlip
-    separately per sample, cyclegan/cyclegan.py:111-117)."""
-
-    def transform(batch, epoch, bidx):
-        rng = np.random.default_rng((seed, epoch, bidx, 2))
-        out = list(batch)
-        for i in indices:
-            flips = rng.random(len(out[i])) < prob
             arr = out[i].copy()
             arr[flips] = arr[flips, :, ::-1]
             out[i] = arr
@@ -374,23 +368,6 @@ def resize_crop_flip_transform(
     return transform
 
 
-def unpaired_shuffle_transform(seed: int, index: int = 1):
-    """Re-pair domain B randomly every batch (the ``unaligned=True`` random
-    index pick, cyclegan/datasets.py:29-33)."""
-
-    def transform(batch, epoch, bidx):
-        rng = np.random.default_rng((seed, epoch, bidx, 4))
-        out = list(batch)
-        out[index] = out[index][rng.permutation(len(out[index]))]
-        return tuple(out)
-
-    return transform
-
-
-def compose_transforms(*transforms):
-    def transform(batch, epoch, bidx):
-        for t in transforms:
-            batch = t(batch, epoch, bidx)
-        return batch
-
-    return transform
+# (The unaligned random-B re-pairing of cyclegan/datasets.py:29-33 is
+# implemented ONCE, natively, in data/loader.py:UnpairedLoader — there is
+# deliberately no parallel host_transform for it to drift from.)

@@ -191,13 +191,18 @@ class ZipLoader:
     def epoch(self, epoch: Optional[int] = None) -> Iterator[tuple]:
         its = [l.epoch(epoch) for l in self.loaders]
         n = len(self)
-        for _ in range(n):
-            out: tuple = ()
+        try:
+            for _ in range(n):
+                out: tuple = ()
+                for it in its:
+                    out = out + next(it)
+                yield out
+        finally:
+            # Unwind every member's prefetch thread even on early exit or
+            # a relayed producer exception — otherwise the other members
+            # keep device_put-ing until GC happens to collect them.
             for it in its:
-                out = out + next(it)
-            yield out
-        for it in its:
-            it.close()  # unwind each member's prefetch thread
+                it.close()
 
     def __iter__(self):
         return self.epoch()

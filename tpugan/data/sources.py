@@ -158,7 +158,9 @@ def synthetic_mnistm_like(
     n, h, w, _ = base.images.shape
     digits = base.images[..., :1].astype(np.float32) / 255.0
     # Smooth random RGB backgrounds (coarse noise upsampled by repetition).
-    coarse = rng.uniform(0, 255, size=(n, max(h // 4, 1), max(w // 4, 1), 3))
+    # Ceil division: for h/w not divisible by 4, the repeated grid must
+    # still cover (h, w) before the trim.
+    coarse = rng.uniform(0, 255, size=(n, -(-h // 4), -(-w // 4), 3))
     bg = np.repeat(np.repeat(coarse, 4, axis=1), 4, axis=2)[:, :h, :w, :]
     out = np.abs(bg - digits * 255.0)
     return ArrayDataset(

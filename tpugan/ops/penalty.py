@@ -29,12 +29,22 @@ def _grad_wrt_input(d_fn: Callable[[jax.Array], jax.Array], x: jax.Array) -> jax
     return jax.grad(lambda xi: jnp.sum(d_fn(xi)))(x)
 
 
+def _safe_sqrt(sq: jax.Array) -> jax.Array:
+    """sqrt with torch ``Tensor.norm`` backward semantics: the subgradient
+    at 0 is 0. A plain ``jnp.sqrt`` has d/dx = inf at 0, which turns a
+    critic dead-zone (dD/dx underflowing to exactly 0 for one sample) into
+    NaN parameter gradients that permanently poison the run — the torch
+    reference survives that state."""
+    safe = jnp.where(sq > 0, sq, 1.0)
+    return jnp.where(sq > 0, jnp.sqrt(safe), 0.0)
+
+
 def _per_sample_norm(g: jax.Array, eps: float = 0.0) -> jax.Array:
     g = g.reshape(g.shape[0], -1)
     sq = jnp.sum(g * g, axis=1)
     if eps:
         sq = sq + eps
-    return jnp.sqrt(sq)
+    return _safe_sqrt(sq)
 
 
 def wgan_gp_penalty(
@@ -77,7 +87,8 @@ def dragan_penalty(
     perturbed = real + 0.5 * jnp.std(real) * noise
     interp = alpha * real + (1.0 - alpha) * perturbed
     grads = _grad_wrt_input(d_fn, interp)
-    norms = jnp.sqrt(jnp.sum(grads**2, axis=-1))  # torch dim=1 == channels
+    # torch dim=1 == channels; _safe_sqrt for the norm-at-0 subgradient.
+    norms = _safe_sqrt(jnp.sum(grads**2, axis=-1))
     return jnp.mean((norms - 1.0) ** 2)
 
 
