@@ -5,8 +5,15 @@
 # /root/reference/data/download_cyclegan_dataset.sh.
 FILE=$1
 
-if [[ $FILE != "ae_photos" && $FILE != "apple2orange" && $FILE != "summer2winter_yosemite" &&  $FILE != "horse2zebra" && $FILE != "monet2photo" && $FILE != "cezanne2photo" && $FILE != "ukiyoe2photo" && $FILE != "vangogh2photo" && $FILE != "maps" && $FILE != "cityscapes" && $FILE != "facades" && $FILE != "iphone2dslr_flower" ]]; then
-    echo "Available datasets are: apple2orange, summer2winter_yosemite, horse2zebra, monet2photo, cezanne2photo, ukiyoe2photo, vangogh2photo, maps, cityscapes, facades, iphone2dslr_flower, ae_photos"
+DATASETS=(apple2orange summer2winter_yosemite horse2zebra monet2photo
+          cezanne2photo ukiyoe2photo vangogh2photo maps cityscapes facades
+          iphone2dslr_flower ae_photos)
+ok=0
+for d in "${DATASETS[@]}"; do
+    [[ $FILE == "$d" ]] && ok=1
+done
+if [[ $ok == 0 ]]; then
+    echo "Available datasets are: ${DATASETS[*]}"
     exit 1
 fi
 
