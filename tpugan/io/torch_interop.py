@@ -82,6 +82,13 @@ def _collect_flax(params: Dict) -> Dict[str, List[Tuple[tuple, Any]]]:
             # PReLU slope (nn/layers.py:PReLU) — torch stores it as a 1-D
             # 'weight' with no sibling bias (srgan/models.py:24).
             groups["prelu"].append((path, leaf))
+        elif name == "gamma":
+            # MUNIT's custom LayerNorm affine (munit/models.py:315-316;
+            # nn/layers.py:LayerNormSpatial) names its scale/shift
+            # gamma/beta on both sides.
+            groups["norm_scale"].append((path, leaf))
+        elif name == "beta":
+            groups["norm_bias"].append((path, leaf))
         elif name == "bias":
             biases.append((path, leaf))
         else:
@@ -130,6 +137,11 @@ def _classify_torch(sd) -> List[Tuple[str, str]]:
             # zoo; a lone 1-D weight is a PReLU slope (srgan/models.py:24).
             has_bias = (scope + ".bias" if scope else "bias") in sd
             out.append((k, "norm_scale" if has_bias else "prelu"))
+        elif base == "gamma":
+            # MUNIT custom LayerNorm (munit/models.py:315-316).
+            out.append((k, "norm_scale"))
+        elif base == "beta":
+            out.append((k, "norm_bias"))
         elif base == "bias":
             # Bias kind follows its scope's weight kind.
             wkey = (scope + ".weight") if scope else "weight"
@@ -179,6 +191,14 @@ def _deepcopy(tree):
     return tree
 
 
+def _is_dummy_stat(kind: str, value: np.ndarray) -> bool:
+    """True iff a running stat still holds its registration default
+    (mean == 0, var == 1) — the signature of AdaptiveInstanceNorm2d's dummy
+    buffers (munit/models.py:277-279), which have no tpugan counterpart."""
+    target = 0.0 if kind == "running_mean" else 1.0
+    return bool(np.all(np.asarray(value) == target))
+
+
 def import_state_dict(
     params: Dict,
     state_dict,
@@ -219,6 +239,14 @@ def import_state_dict(
             None,
         )
         if hit is None:
+            if kind in ("running_mean", "running_var") and _is_dummy_stat(
+                kind, value
+            ):
+                # AdaptiveInstanceNorm2d registers never-used default
+                # running stats ("just dummy buffers, not used",
+                # munit/models.py:277-279); tpugan's adain is stateless, so
+                # default-valued stats with no counterpart are dropped.
+                continue
             raise ValueError(
                 f"torch entry {tkey!r} ({kind}, shape {tuple(value.shape)})"
                 " has no unused tpugan counterpart"
@@ -278,6 +306,17 @@ def export_state_dict(
             None,
         )
         if hit is None:
+            tmpl_np = (
+                tmpl.detach().cpu().numpy() if hasattr(tmpl, "detach")
+                else np.asarray(tmpl)
+            )
+            if kind in ("running_mean", "running_var") and _is_dummy_stat(
+                kind, tmpl_np
+            ):
+                # AdaIN dummy buffers (see import_state_dict): emit the
+                # registration defaults the reference module expects.
+                out[tkey] = torch.from_numpy(np.array(tmpl_np, copy=True))
+                continue
             raise ValueError(
                 f"torch template entry {tkey!r} ({kind}, shape {want}) has"
                 " no unused tpugan counterpart"
