@@ -95,10 +95,14 @@ def test_batchnorm_train_parity(eps):
     )
     theirs = tb(torch.from_numpy(x)).detach().numpy()
     np.testing.assert_allclose(to_nchw(np.asarray(ours)), theirs, rtol=1e-3, atol=1e-4)
-    # Running mean update direction (torch momentum=0.1).
-    bs = mutated["batch_stats"]["BatchNorm_0"]
+    # Running-stat updates match torch exactly: momentum 0.1 and UNBIASED
+    # batch variance folded into running_var (nn/layers.py:BatchNorm).
+    bs = mutated["batch_stats"]
     np.testing.assert_allclose(
-        np.asarray(bs["mean"]), tb.running_mean.detach().numpy(), rtol=1e-3, atol=1e-4
+        np.asarray(bs["mean"]), tb.running_mean.detach().numpy(), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(bs["var"]), tb.running_var.detach().numpy(), rtol=1e-5, atol=1e-6
     )
 
 
@@ -164,3 +168,90 @@ def test_prelu_parity():
     ours = np.asarray(layer.apply(params, jnp.asarray(x)))
     theirs = tp(torch.from_numpy(x)).detach().numpy()
     np.testing.assert_allclose(ours, theirs, **TOL)
+
+
+def test_batchnorm_multistep_running_stats_and_eval_parity():
+    """Train-mode steps accumulate torch-identical running stats (unbiased
+    variance, momentum 0.1), and the subsequent eval-mode forward matches
+    torch .eval() without any B/(B-1) tolerance — the reference's inference
+    path (esrgan/test_on_image.py:26)."""
+    rng = np.random.default_rng(7)
+    tb = tnn.BatchNorm2d(3, 0.8)
+    with torch.no_grad():
+        tb.weight.copy_(torch.from_numpy(rng.normal(1, 0.2, 3).astype(np.float32)))
+        tb.bias.copy_(torch.from_numpy(rng.normal(0, 0.2, 3).astype(np.float32)))
+    layer = gnn.BatchNorm(eps=0.8)
+    x0 = rng.normal(size=(4, 3, 5, 5)).astype(np.float32)
+    variables = layer.init(jax.random.PRNGKey(0), jnp.asarray(to_nhwc(x0)), train=True)
+    variables = {
+        "params": {
+            "scale": jnp.asarray(tb.weight.detach().numpy()),
+            "bias": jnp.asarray(tb.bias.detach().numpy()),
+        },
+        "batch_stats": variables["batch_stats"],
+    }
+    tb.train()
+    for i in range(3):
+        x = rng.normal(loc=i, scale=1 + i, size=(4, 3, 5, 5)).astype(np.float32)
+        ours, mutated = layer.apply(
+            variables, jnp.asarray(to_nhwc(x)), train=True, mutable=["batch_stats"]
+        )
+        theirs = tb(torch.from_numpy(x)).detach().numpy()
+        np.testing.assert_allclose(to_nchw(np.asarray(ours)), theirs, rtol=1e-4, atol=1e-5)
+        variables = {"params": variables["params"], "batch_stats": mutated["batch_stats"]}
+    np.testing.assert_allclose(
+        np.asarray(variables["batch_stats"]["mean"]),
+        tb.running_mean.detach().numpy(), rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(variables["batch_stats"]["var"]),
+        tb.running_var.detach().numpy(), rtol=1e-5, atol=1e-6,
+    )
+    tb.eval()
+    xe = rng.normal(size=(2, 3, 5, 5)).astype(np.float32)
+    ours = layer.apply(variables, jnp.asarray(to_nhwc(xe)), train=False)
+    theirs = tb(torch.from_numpy(xe)).detach().numpy()
+    np.testing.assert_allclose(to_nchw(np.asarray(ours)), theirs, rtol=1e-5, atol=1e-6)
+
+
+def test_instance_norm_tracked_stats_parity():
+    """track_running_stats=True InstanceNorm (stargan/models.py:23): train
+    forwards keep per-instance normalization while accumulating torch's
+    running buffers; eval normalizes with the buffers."""
+    rng = np.random.default_rng(9)
+    ti = tnn.InstanceNorm2d(3, affine=True, track_running_stats=True)
+    with torch.no_grad():
+        ti.weight.copy_(torch.from_numpy(rng.normal(1, 0.2, 3).astype(np.float32)))
+        ti.bias.copy_(torch.from_numpy(rng.normal(0, 0.2, 3).astype(np.float32)))
+    layer = gnn.InstanceNorm(affine=True, track_running_stats=True)
+    x0 = rng.normal(size=(4, 3, 6, 6)).astype(np.float32)
+    variables = layer.init(jax.random.PRNGKey(0), jnp.asarray(to_nhwc(x0)), train=True)
+    variables = {
+        "params": {
+            "scale": jnp.asarray(ti.weight.detach().numpy()),
+            "bias": jnp.asarray(ti.bias.detach().numpy()),
+        },
+        "batch_stats": variables["batch_stats"],
+    }
+    ti.train()
+    for i in range(3):
+        x = rng.normal(loc=i, scale=1 + 0.5 * i, size=(4, 3, 6, 6)).astype(np.float32)
+        ours, mutated = layer.apply(
+            variables, jnp.asarray(to_nhwc(x)), train=True, mutable=["batch_stats"]
+        )
+        theirs = ti(torch.from_numpy(x)).detach().numpy()
+        np.testing.assert_allclose(to_nchw(np.asarray(ours)), theirs, rtol=1e-4, atol=1e-5)
+        variables = {"params": variables["params"], "batch_stats": mutated["batch_stats"]}
+    np.testing.assert_allclose(
+        np.asarray(variables["batch_stats"]["mean"]),
+        ti.running_mean.detach().numpy(), rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(variables["batch_stats"]["var"]),
+        ti.running_var.detach().numpy(), rtol=1e-5, atol=1e-6,
+    )
+    ti.eval()
+    xe = rng.normal(size=(2, 3, 6, 6)).astype(np.float32)
+    ours = layer.apply(variables, jnp.asarray(to_nhwc(xe)), train=False)
+    theirs = ti(torch.from_numpy(xe)).detach().numpy()
+    np.testing.assert_allclose(to_nchw(np.asarray(ours)), theirs, rtol=1e-4, atol=1e-5)

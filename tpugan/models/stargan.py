@@ -13,10 +13,13 @@ at lambda_rec=10; D every batch, G every n_critic. ``weights_init_normal``
 here touches ONLY conv weights (models.py:6-9) — no bias zeroing, no norm
 branch; the affine IN params keep torch defaults.
 
-Deviation (documented): torch's ``track_running_stats=True`` InstanceNorm
-keeps running buffers that are only consumed in eval mode; this recipe
-always trains and samples in train mode (as the reference does — no .eval()
-anywhere in stargan.py), so the buffers are unobservable and not tracked.
+The reference's InstanceNorms are ``track_running_stats=True``
+(models.py:23): training normalizes per-instance while accumulating
+running buffers that only eval mode would consume (stargan.py never calls
+.eval(), so they are unobservable during training). tpugan tracks them
+with torch's exact update rule (nn/layers.py:InstanceNorm
+track_running_stats) so checkpoints import/export completely and
+eval-mode inference matches torch.
 """
 
 from __future__ import annotations
@@ -79,18 +82,23 @@ class Config(BaseConfig):
     )
 
 
+def _tracked_in():
+    # models.py:23: InstanceNorm2d(..., affine=True, track_running_stats=True).
+    return InstanceNorm(affine=True, track_running_stats=True)
+
+
 class _ResBlockAffine(nn.Module):
     """models.py:17-32: Conv(3,1,1,bias=False)-affineIN-ReLU-Conv-affineIN."""
 
     features: int
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = True):
         y = Conv(self.features, 3, 1, 1, use_bias=False, init_mode="normal02")(x)
-        y = InstanceNorm(affine=True)(y)
+        y = _tracked_in()(y, train=train)
         y = nn.relu(y)
         y = Conv(self.features, 3, 1, 1, use_bias=False, init_mode="normal02")(y)
-        y = InstanceNorm(affine=True)(y)
+        y = _tracked_in()(y, train=train)
         return x + y
 
 
@@ -102,25 +110,24 @@ class StarGenerator(nn.Module):
 
     @nn.compact
     def __call__(self, x, c, train: bool = True):
-        del train
         b, h, w, _ = x.shape
         cmap = jnp.broadcast_to(c[:, None, None, :], (b, h, w, c.shape[-1]))
         y = jnp.concatenate([x, cmap], axis=-1)
         y = Conv(64, 7, 1, 3, use_bias=False, init_mode="normal02")(y)
-        y = InstanceNorm(affine=True)(y)
+        y = _tracked_in()(y, train=train)
         y = nn.relu(y)
         dim = 64
         for _ in range(2):
             dim *= 2
             y = Conv(dim, 4, 2, 1, use_bias=False, init_mode="normal02")(y)
-            y = InstanceNorm(affine=True)(y)
+            y = _tracked_in()(y, train=train)
             y = nn.relu(y)
         for _ in range(self.res_blocks):
-            y = _ResBlockAffine(dim)(y)
+            y = _ResBlockAffine(dim)(y, train=train)
         for _ in range(2):
             dim //= 2
             y = ConvTranspose(dim, 4, 2, 1, use_bias=False, init_mode="normal02")(y)
-            y = InstanceNorm(affine=True)(y)
+            y = _tracked_in()(y, train=train)
             y = nn.relu(y)
         y = Conv(self.channels, 7, 1, 3, init_mode="normal02")(y)
         return jnp.tanh(y)
@@ -181,19 +188,22 @@ def create_state(cfg: Config, modules=None) -> TrainState:
         (1, cfg.img_height, cfg.img_width, cfg.channels), jnp.float32
     )
     c = jnp.zeros((1, c_dim), jnp.float32)
-    g_params, _ = init_module(modules["generator"], k_g, img, c)
+    g_params, g_bs = init_module(modules["generator"], k_g, img, c)
     d_params, _ = init_module(modules["discriminator"], k_d, img)
     tx = adam_torch(cfg.lr, cfg.b1, cfg.b2)
     params = {"generator": g_params, "discriminator": d_params}
     opt_state = {"generator": tx.init(g_params), "discriminator": tx.init(d_params)}
-    return TrainState.create(params, opt_state, k_state)
+    return TrainState.create(
+        params, opt_state, k_state, model_state={"generator": g_bs}
+    )
 
 
 def make_steps(cfg: Config, modules=None):
     """(d_step, g_step) — D every batch, G every n_critic-th
     (stargan.py:218-264). Both consume the SAME sampled_c / fake batch; the
     host passes d_step's fakes along so the G step regenerates identically
-    (IN has no state, no dropout — the regeneration is exact, matching the
+    (train-mode IN normalizes per-instance regardless of the running
+    buffers, no dropout — the regeneration is exact, matching the
     reference's second generator(imgs, sampled_c) call)."""
     modules = modules or build(cfg)
     G, D = modules["generator"], modules["discriminator"]
@@ -206,7 +216,13 @@ def make_steps(cfg: Config, modules=None):
         sampled_c = jax.random.randint(
             k_c, (imgs.shape[0], c_dim), 0, 2
         ).astype(jnp.float32)
-        fake_imgs, _ = apply_mod(G, state.params["generator"], None, imgs, sampled_c)
+        # First G application of the reference batch: the IN running
+        # buffers advance here (torch updates them on every train-mode
+        # forward); train numerics are unaffected (per-instance stats).
+        fake_imgs, g_bs = apply_mod(
+            G, state.params["generator"], state.model_state["generator"],
+            imgs, sampled_c,
+        )
         fake_d = jax.lax.stop_gradient(fake_imgs)
 
         def d_loss_fn(d_params):
@@ -234,6 +250,7 @@ def make_steps(cfg: Config, modules=None):
         new_state = state.replace(
             step=state.step + 1,
             params={**state.params, "discriminator": d_params},
+            model_state={**state.model_state, "generator": g_bs},
             opt_state={**state.opt_state, "discriminator": d_opt},
             rng=rng,
         )
@@ -250,8 +267,12 @@ def make_steps(cfg: Config, modules=None):
         rng = state.rng  # d_step already advanced it
 
         def g_loss_fn(g_params):
-            gen_imgs, _ = apply_mod(G, g_params, None, imgs, sampled_c)
-            recov_imgs, _ = apply_mod(G, g_params, None, gen_imgs, labels)
+            # Two more train-mode G forwards (translate, recover) — chain
+            # the IN running buffers through both, matching torch's
+            # sequential updates; grads don't flow through the buffers.
+            ms = state.model_state["generator"]
+            gen_imgs, ms = apply_mod(G, g_params, ms, imgs, sampled_c)
+            recov_imgs, ms = apply_mod(G, g_params, ms, gen_imgs, labels)
             (fake_validity, pred_cls), _ = apply_mod(
                 D, state.params["discriminator"], None, gen_imgs
             )
@@ -259,17 +280,23 @@ def make_steps(cfg: Config, modules=None):
             loss_cls = criterion_cls(pred_cls, sampled_c)
             loss_rec = l1(recov_imgs, imgs)
             loss = loss_adv + LAMBDA_CLS * loss_cls + LAMBDA_REC * loss_rec
-            return loss, (loss_adv, loss_cls, loss_rec)
+            return loss, (loss_adv, loss_cls, loss_rec, ms)
 
-        (g_loss, (loss_adv, loss_cls, loss_rec)), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True
-        )(state.params["generator"])
+        (g_loss, (loss_adv, loss_cls, loss_rec, g_bs)), g_grads = (
+            jax.value_and_grad(g_loss_fn, has_aux=True)(
+                state.params["generator"]
+            )
+        )
         g_up, g_opt = tx.update(
             g_grads, state.opt_state["generator"], state.params["generator"]
         )
         g_params = optax.apply_updates(state.params["generator"], g_up)
         new_state = state.replace(
             params={**state.params, "generator": g_params},
+            model_state={
+                **state.model_state,
+                "generator": jax.lax.stop_gradient(g_bs),
+            },
             opt_state={**state.opt_state, "generator": g_opt},
             rng=rng,
         )
@@ -329,7 +356,7 @@ def make_sampler(cfg: Config, modules):
     ]
 
     @jax.jit
-    def translate(g_params, imgs_u8, labels):
+    def translate(g_params, g_bs, imgs_u8, labels):
         # ONE batched generator application over all n*c_dim translations
         # (the reference loops per image, stargan.py:179-195 — same values,
         # compile-friendly shape here).
@@ -345,8 +372,12 @@ def make_sampler(cfg: Config, modules):
                     )
                 else:
                     lab = lab.at[:, sample_i, col].set(float(val))
+        # Train-mode application like the reference's sampling (stargan.py
+        # never .eval()s); the IN buffer advance from sampling is discarded
+        # (the reference's sampling does advance torch's buffers — an
+        # unobservable-in-training deviation, documented here).
         gen, _ = apply_mod(
-            G, g_params, None, rep_imgs, lab.reshape(n * c_dim, c_dim)
+            G, g_params, g_bs, rep_imgs, lab.reshape(n * c_dim, c_dim)
         )
         gen = gen.reshape(n, c_dim, *gen.shape[1:])
         # Row per sample: [original | c_dim translations] along width.
@@ -361,7 +392,10 @@ def make_sampler(cfg: Config, modules):
 
     def sample(state, out, batches_done):
         batch = next(iter(val_loader.epoch(int(batches_done))))
-        sheet = translate(state.params["generator"], batch[0], batch[1])
+        sheet = translate(
+            state.params["generator"], state.model_state["generator"],
+            batch[0], batch[1],
+        )
         save_image(
             jax.device_get(sheet)[None],
             os.path.join(imgdir, "%s.png" % batches_done),

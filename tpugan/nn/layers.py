@@ -214,15 +214,26 @@ class ConvTranspose(nn.Module):
 
 
 class BatchNorm(nn.Module):
-    """torch.nn.BatchNorm1d/2d parity.
+    """torch.nn.BatchNorm1d/2d parity (custom — not flax nn.BatchNorm).
 
     - ``eps`` is positional in the reference and frequently 0.8 (a latent
       quirk, e.g. gan/gan.py:45) — pass it through verbatim.
-    - torch momentum=0.1 means running <- 0.9*running + 0.1*batch; flax's
-      momentum is the retention factor, so we pass 1-momentum.
-    - train mode normalizes with biased batch variance (matches flax).
-    Deviation (documented): torch stores *unbiased* variance in running
-    stats; flax stores biased. Only affects eval-mode outputs by B/(B-1).
+    - train mode normalizes with the biased batch variance (exactly torch).
+    - running stats follow torch's update rule: ``running <- (1-m)*running
+      + m*batch`` with m=momentum=0.1, and the variance folded in is the
+      UNBIASED batch variance (N/(N-1)) — torch BatchNorm semantics that
+      flax's nn.BatchNorm (biased running var) cannot reproduce. Matters
+      for eval-mode inference (esrgan/test_on_image.py:26 calls .eval())
+      and for state_dicts exported back to torch.
+    - the normalization itself goes through flax's own ``_compute_stats`` /
+      ``_normalize`` helpers so the compiled HLO is identical to
+      nn.BatchNorm's — keeping the fused K-step dispatch bit-identical to
+      sequential dispatches (tests/test_scan_dispatch.py; a hand-rolled
+      normalization formula measurably diverged in the gradient's fusion
+      rounding between the scan and straight-line contexts).
+    - param/stat leaf names (scale/bias, batch_stats mean/var) are kept
+      flax-compatible so existing checkpoints and the interop layer load
+      unchanged.
     """
 
     eps: float = 1e-5
@@ -232,33 +243,88 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        from flax.linen import normalization as fnorm
+
+        feat = x.shape[-1]
         scale_init = (
             nn.initializers.ones if self.init_mode == "torch" else ones_normal_init(0.02)
         )
-        return nn.BatchNorm(
-            use_running_average=not train,
-            momentum=1.0 - self.momentum,
-            epsilon=self.eps,
-            scale_init=scale_init,
-            bias_init=nn.initializers.zeros,
-            dtype=self.dtype,
-        )(x)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((feat,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((feat,), jnp.float32)
+        )
+        axes = tuple(range(x.ndim - 1))
+        if train:
+            mean, var = fnorm._compute_stats(x, axes, self.dtype)
+            if not self.is_initializing():
+                n = 1
+                for a in axes:
+                    n *= x.shape[a]
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        return fnorm._normalize(
+            self, x, mean, var, axes, (-1,), self.dtype, jnp.float32,
+            self.eps, True, True, nn.initializers.zeros, scale_init,
+        )
 
 
 class InstanceNorm(nn.Module):
     """torch.nn.InstanceNorm2d parity: per-sample per-channel spatial stats,
     no running stats, affine=False by default (cyclegan/models.py:47 et al.;
-    dualgan uses affine=True)."""
+    dualgan uses affine=True).
+
+    ``track_running_stats=True`` adds torch's buffer semantics
+    (stargan/models.py:23): train mode still normalizes per-instance but
+    folds the batch-mean of the instance stats into running buffers
+    (variance unbiased over H*W, torch F.instance_norm), and eval mode
+    normalizes with the buffers — needed for eval-parity inference and for
+    importing reference stargan checkpoints (their state_dicts carry the
+    buffers)."""
 
     affine: bool = False
     eps: float = 1e-5
     init_mode: str = "torch"
+    track_running_stats: bool = False
+    momentum: float = 0.1
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = True):
         from tpugan.ops.pallas_kernels import instance_norm
 
-        y = instance_norm(x, eps=self.eps)
+        if self.track_running_stats:
+            feat = x.shape[-1]
+            ra_mean = self.variable(
+                "batch_stats", "mean", lambda: jnp.zeros((feat,), jnp.float32)
+            )
+            ra_var = self.variable(
+                "batch_stats", "var", lambda: jnp.ones((feat,), jnp.float32)
+            )
+            if train:
+                y = instance_norm(x, eps=self.eps)
+                if not self.is_initializing():
+                    inst_mean = jnp.mean(x, axis=(1, 2))  # (B, C)
+                    inst_var = jnp.var(x, axis=(1, 2))
+                    hw = x.shape[1] * x.shape[2]
+                    unbiased = inst_var * (hw / max(hw - 1, 1))
+                    m = self.momentum
+                    ra_mean.value = (
+                        (1.0 - m) * ra_mean.value + m * jnp.mean(inst_mean, axis=0)
+                    )
+                    ra_var.value = (
+                        (1.0 - m) * ra_var.value + m * jnp.mean(unbiased, axis=0)
+                    )
+            else:
+                y = (x - ra_mean.value) * jax.lax.rsqrt(
+                    ra_var.value + self.eps
+                )
+        else:
+            y = instance_norm(x, eps=self.eps)
         if self.affine:
             c = x.shape[-1]
             scale_init = (
