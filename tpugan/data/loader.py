@@ -6,10 +6,16 @@ an async ``jax.device_put`` queue so the accelerator never waits on input.
 Batches ship as uint8 (4x less H2D traffic than fp32); normalization happens
 on-device inside the jitted train step.
 
-Shape policy: fixed batch shape (``drop_last=True``) so the step compiles
-once. Deviation from the reference (which runs a ragged final batch,
-gan/gan.py:122-125): the last len(ds) % batch_size samples of each epoch are
-dropped; documented in SURVEY.md §7 hard-part 7.
+Shape policy: fixed batch shape (``drop_last=True`` default) so the step
+compiles once. The reference runs a ragged final batch instead
+(gan/gan.py:122-125 uses ``imgs.shape[0]`` everywhere); pass
+``--ragged_last_batch`` (wires ``set_drop_last(False)``) to reproduce those
+epoch semantics exactly — every recipe's step already sizes its noise and
+targets from the batch's leading dim, so the tail batch trains with
+identical numerics at the cost of ONE extra XLA compile for the tail shape
+(the shape is the same every epoch, so it compiles once per run).
+Ragged tails are incompatible with a sharded (data-parallel) batch; the
+loader warns and drops the tail in that case.
 """
 
 from __future__ import annotations
@@ -27,10 +33,19 @@ import numpy as np
 # surface); this removes it entirely for bisecting host-side races.
 _SYNCHRONOUS = False
 
+# Process-wide drop_last default (--ragged_last_batch wires this to False;
+# see module docstring). Loaders constructed with an explicit drop_last
+# ignore it.
+_DROP_LAST_DEFAULT = [True]
+
 
 def set_synchronous(on: bool) -> None:
     global _SYNCHRONOUS
     _SYNCHRONOUS = on
+
+
+def set_drop_last(on: bool) -> None:
+    _DROP_LAST_DEFAULT[0] = on
 
 
 class DeviceLoader:
@@ -46,7 +61,7 @@ class DeviceLoader:
         batch_size: int,
         shuffle: bool = True,
         seed: int = 0,
-        drop_last: bool = True,
+        drop_last: Optional[bool] = None,
         prefetch: int = 2,
         sharding: Optional[jax.sharding.Sharding] = None,
         host_transform: Optional[Callable] = None,
@@ -58,6 +73,17 @@ class DeviceLoader:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
+        if drop_last is None:
+            drop_last = _DROP_LAST_DEFAULT[0]
+        if not drop_last and sharding is not None and n % batch_size != 0:
+            import warnings
+
+            warnings.warn(
+                "[tpugan] --ragged_last_batch is incompatible with a "
+                "sharded (data-parallel) batch; dropping the tail batch",
+                stacklevel=2,
+            )
+            drop_last = True
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.sharding = sharding

@@ -236,6 +236,14 @@ def run_training(
             if heavy_keys is None:
                 out_sd = jax.eval_shape(step_fn, state, *batch)[1]
                 heavy_keys = set(heavy_out_keys(out_sd))
+            if pending and (
+                jax.tree_util.tree_leaves(batch)[0].shape[0]
+                != jax.tree_util.tree_leaves(pending[0][1])[0].shape[0]
+            ):
+                # Ragged tail (--ragged_last_batch): can't stack into the
+                # fused chunk — flush it below as single-step dispatches.
+                pending.append((i, batch))
+                break
             pending.append((i, batch))
             if len(pending) < k:
                 continue

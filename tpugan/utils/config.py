@@ -64,6 +64,13 @@ class BaseConfig:
     # capture-profile UI (0 = off). Complements --profile_dir's
     # fixed-window trace (SURVEY.md §5 tracing hook).
     profile_port: int = flag(0, "jax.profiler server port (0 = off)")
+    # Reference epoch semantics: run the ragged len(ds) % batch_size tail
+    # batch each epoch (gan/gan.py:122-125) instead of dropping it. Costs
+    # one extra XLA compile for the tail shape (data/loader.py docstring);
+    # ignored under data parallelism (the tail cannot shard).
+    ragged_last_batch: bool = flag(
+        False, "train the reference's ragged final batch each epoch"
+    )
     # Fuse K optimizer steps into one device dispatch via lax.scan
     # (train/loop.py:scan_steps). Numerics identical to K single dispatches;
     # amortizes host->device dispatch latency for millisecond-class steps.
@@ -135,4 +142,8 @@ def config_from_args(cls: type, argv: Optional[Sequence[str]] = None):
         from tpugan.data.loader import set_synchronous
 
         set_synchronous(True)
+    if getattr(cfg, "ragged_last_batch", False):
+        from tpugan.data.loader import set_drop_last
+
+        set_drop_last(False)
     return cfg
