@@ -142,3 +142,35 @@ def test_batch_visibly_sharded(setup):
     x = jax.device_put(imgs, batch_sharding(mesh))
     assert len(x.addressable_shards) == 8
     assert x.addressable_shards[0].data.shape[0] == 2  # 16 / 8
+
+
+@pytest.mark.slow
+def test_bench_dp_config_equivalence():
+    """The scripts/bench_dp.py DP workload (fused K-step dispatch, sharded
+    stacked batches) matches single-device numerics on the virtual mesh —
+    the correctness side of the multi-chip throughput story."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_dp",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "bench_dp.py"),
+    )
+    bench_dp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench_dp)
+    delta = bench_dp.check_equivalence(n_devices=8, batch=16)
+    assert delta < 5e-4, f"DP-vs-single loss delta {delta}"
+
+
+def test_auto_sharding_warns_on_indivisible_batch():
+    """Silent single-device fallback is gone: a batch that cannot shard
+    over the mesh warns (parallel/mesh.py:auto_sharding)."""
+    import warnings
+
+    from tpugan.parallel import auto_sharding
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert auto_sharding(7) is None
+    assert any("SINGLE-DEVICE" in str(x.message) for x in w)
+    assert auto_sharding(16) is not None

@@ -48,9 +48,22 @@ def shard_state(state, mesh: Mesh):
 
 def auto_sharding(batch_size: int):
     """Batch sharding over the full mesh when CLI auto-DP applies, else
-    None (single device, or batch not divisible by the device count)."""
+    None (single device, or batch not divisible by the device count —
+    warned loudly, since silently dropping to one chip of N wastes the
+    mesh; raise the global batch to a multiple of the device count to
+    scale, see scripts/bench_dp.py)."""
     n = jax.device_count()
-    if n <= 1 or batch_size % n != 0:
+    if n <= 1:
+        return None
+    if batch_size % n != 0:
+        import warnings
+
+        warnings.warn(
+            f"[tpugan] batch_size={batch_size} is not divisible by the "
+            f"{n}-device mesh — running SINGLE-DEVICE. Use a global batch "
+            f"that is a multiple of {n} to enable data parallelism.",
+            stacklevel=2,
+        )
         return None
     return batch_sharding(data_mesh())
 
