@@ -36,7 +36,7 @@ def main() -> None:
     ap.add_argument("--synthetic_data", action="store_true")
     args = ap.parse_args()
 
-    from tpugan.metrics.fid import VGGFeatureModel, fid_from_features
+    from tpugan.metrics.fid import feature_model, fid_from_features
     from tpugan.models import registry
 
     recipe = registry.get(args.model)
@@ -80,7 +80,8 @@ def main() -> None:
         if seen >= args.n_samples:
             break
 
-    model = VGGFeatureModel(data_dir=args.data_dir)
+    # InceptionV3 pool3 when inception_v3.npz is on disk, else VGG19.
+    model = feature_model(data_dir=args.data_dir)
     fid = fid_from_features(
         model(real_batches)[: args.n_samples],
         model(fake_batches)[: args.n_samples],

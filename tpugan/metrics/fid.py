@@ -69,6 +69,66 @@ def fid_from_features(real: np.ndarray, fake: np.ndarray) -> float:
     return frechet_distance(mu1, s1, mu2, s2)
 
 
+class InceptionFeatureModel:
+    """Canonical FID backbone: InceptionV3 pool3 (2048-d) features
+    (tpugan/metrics/inception.py). Weights drop in from
+    ``<data_dir>/inception_v3.npz`` (scripts/convert_inception.py);
+    He-random without it — self-consistent but not literature-comparable,
+    same policy as the VGG fallback."""
+
+    def __init__(self, data_dir: str = "data", value_range: str = "tanh"):
+        import os
+
+        from tpugan.metrics.inception import (
+            InceptionV3Features,
+            load_inception_npz,
+        )
+
+        self.module = InceptionV3Features()
+        variables = self.module.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 75, 75, 3))
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        npz = os.path.join(data_dir, "inception_v3.npz")
+        self.pretrained = os.path.exists(npz)
+        if self.pretrained:
+            params, batch_stats = load_inception_npz(params, batch_stats, npz)
+        self.variables = {"params": params, "batch_stats": batch_stats}
+
+        @jax.jit
+        def extract(variables, x):
+            from tpugan.nn.vgg import imagenet_normalize
+
+            if value_range == "tanh":
+                x = (x + 1.0) / 2.0
+            x = imagenet_normalize(x)
+            return self.module.apply(variables, x)
+
+        self._extract = extract
+
+    def __call__(self, batches: Iterable[jax.Array]) -> np.ndarray:
+        outs = []
+        for b in batches:
+            if b.shape[-1] == 1:
+                b = jnp.repeat(b, 3, axis=-1)
+            outs.append(
+                np.asarray(jax.device_get(self._extract(self.variables, b)))
+            )
+        return np.concatenate(outs, axis=0)
+
+
+def feature_model(data_dir: str = "data", value_range: str = "tanh"):
+    """FID backbone selector: InceptionV3 when its converted checkpoint is
+    on disk (literature-comparable), else the VGG19 extractor (optionally
+    with its own npz; He-random fallback)."""
+    import os
+
+    if os.path.exists(os.path.join(data_dir, "inception_v3.npz")):
+        return InceptionFeatureModel(data_dir=data_dir, value_range=value_range)
+    return VGGFeatureModel(data_dir=data_dir, value_range=value_range)
+
+
 class VGGFeatureModel:
     """Feature extractor wrapper for FID over image batches in [-1, 1] or
     [0, 1] (specify ``value_range``). Spatially mean-pools the VGG map to a
@@ -115,5 +175,5 @@ def compute_fid(
     fake_batches: Iterable[jax.Array],
     data_dir: str = "data",
 ) -> float:
-    model = VGGFeatureModel(data_dir=data_dir)
+    model = feature_model(data_dir=data_dir)
     return fid_from_features(model(real_batches), model(fake_batches))
