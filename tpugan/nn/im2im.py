@@ -32,10 +32,11 @@ from tpugan.nn.layers import (
 
 
 def reflection_pad(x: jax.Array, pad: int) -> jax.Array:
-    """nn.ReflectionPad2d(pad) on NHWC."""
-    return jnp.pad(
-        x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect"
-    )
+    """nn.ReflectionPad2d(pad) on NHWC (flip-concat lowering — see
+    tpugan.ops.image.reflection_pad_2d for the profile rationale)."""
+    from tpugan.ops.image import reflection_pad_2d
+
+    return reflection_pad_2d(x, pad)
 
 
 def zero_pad_lt(x: jax.Array) -> jax.Array:

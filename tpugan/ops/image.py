@@ -45,8 +45,27 @@ def resize_bilinear(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
 
 
 def reflection_pad_2d(x: jax.Array, pad: int) -> jax.Array:
-    """torch nn.ReflectionPad2d(pad) on NHWC."""
-    return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+    """torch nn.ReflectionPad2d(pad) on NHWC.
+
+    Lowered as flipped edge slices + one concat per spatial axis instead of
+    ``jnp.pad(mode="reflect")``: the jnp.pad lowering produced ~70 slice +
+    150 pad HLOs per CycleGAN ResidualBlockIN across fwd+bwd (BASELINE.md
+    256px step profile); this form is 2 slices + 2 reverses + 1 concat per
+    axis, with a correspondingly small VJP. TPUGAN_REFLECT_PAD=jnp restores
+    the jnp.pad lowering for A/B timing (BASELINE.md records the
+    measurements)."""
+    import os
+
+    if os.environ.get("TPUGAN_REFLECT_PAD", "concat") == "jnp":
+        return jnp.pad(
+            x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect"
+        )
+    top = jnp.flip(x[:, 1 : pad + 1], axis=1)
+    bot = jnp.flip(x[:, -pad - 1 : -1], axis=1)
+    x = jnp.concatenate([top, x, bot], axis=1)
+    left = jnp.flip(x[:, :, 1 : pad + 1], axis=2)
+    right = jnp.flip(x[:, :, -pad - 1 : -1], axis=2)
+    return jnp.concatenate([left, x, right], axis=2)
 
 
 def zero_pad_2d(x: jax.Array, pad) -> jax.Array:
