@@ -827,3 +827,134 @@ def test_bicyclegan_multidiscriminator_import_forward():
     assert len(ours) == 3
     for o, t in zip(ours, theirs):
         np.testing.assert_allclose(np.asarray(o), torch_to_nhwc(t), atol=2e-5)
+
+
+# ------------------------------------------------------------------ unit
+
+
+def test_unit_encoder_import_forward():
+    """UNIT E_i = domain trunk -> SHARED residual block (weight sharing
+    across domains, unit/models.py:53-90). The torch Encoder registers
+    model_blocks then shared_block; import both tpugan modules through one
+    combined tree in that insertion order."""
+    from tpugan.models.unit import UnitEncoderTrunk
+    from tpugan.nn.im2im import ResidualBlockIN
+
+    rm = import_reference_models("unit")
+    shared = rm.ResidualBlock(features=64)
+    te = randomize(rm.Encoder(3, dim=16, n_downsample=2, shared_block=shared), 30).eval()
+
+    trunk = UnitEncoderTrunk(channels=3, dim=16, n_downsample=2)
+    shared_f = ResidualBlockIN(64, init_mode="normal02")
+    x = _rng_img((1, 32, 32, 3), 30)
+    tp, _ = init_module(trunk, jax.random.PRNGKey(0), x)
+    feat_shape = (1, 8, 8, 64)
+    sp, _ = init_module(shared_f, jax.random.PRNGKey(1), jnp.zeros(feat_shape))
+    combined, _ = import_state_dict({"trunk": tp, "shared": sp}, te.state_dict())
+
+    feat, _ = apply_mod(trunk, combined["trunk"], None, x, train=False)
+    mu, _ = apply_mod(shared_f, combined["shared"], None, feat, train=False)
+    with torch.no_grad():
+        tmu, _ = te(nhwc_to_torch(x))
+    np.testing.assert_allclose(np.asarray(mu), torch_to_nhwc(tmu), atol=3e-5)
+
+
+def test_unit_generator_import_forward():
+    """UNIT G_i = SHARED residual block -> domain trunk
+    (unit/models.py:93-122; shared_block registered FIRST)."""
+    from tpugan.models.unit import UnitGeneratorTrunk
+    from tpugan.nn.im2im import ResidualBlockIN
+
+    rm = import_reference_models("unit")
+    shared = rm.ResidualBlock(features=64)
+    tg = randomize(rm.Generator(3, dim=16, n_upsample=2, shared_block=shared), 31).eval()
+
+    shared_f = ResidualBlockIN(64, init_mode="normal02")
+    trunk = UnitGeneratorTrunk(out_channels=3, dim=16, n_upsample=2)
+    z = _rng_img((1, 8, 8, 64), 31)
+    sp, _ = init_module(shared_f, jax.random.PRNGKey(0), z)
+    tp, _ = init_module(trunk, jax.random.PRNGKey(1), z)
+    combined, _ = import_state_dict({"shared": sp, "trunk": tp}, tg.state_dict())
+
+    y, _ = apply_mod(shared_f, combined["shared"], None, z, train=False)
+    img, _ = apply_mod(trunk, combined["trunk"], None, y, train=False)
+    with torch.no_grad():
+        theirs = torch_to_nhwc(tg(nhwc_to_torch(z)))
+    np.testing.assert_allclose(np.asarray(img), theirs, atol=3e-5)
+
+
+def test_unit_discriminator_import_forward():
+    from tpugan.models.unit import UnitDiscriminator
+
+    rm = import_reference_models("unit")
+    td = randomize(rm.Discriminator((3, 64, 64)), 32).eval()
+
+    D = UnitDiscriminator()
+    x = _rng_img((2, 64, 64, 3), 32)
+    params, bs = _transplant(D, td, x)
+    ours, _ = apply_mod(D, params, bs, x, train=False)
+    with torch.no_grad():
+        theirs = torch_to_nhwc(td(nhwc_to_torch(x)))
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=2e-5)
+
+
+# ----------------------------------------------------------- cluster_gan
+
+
+def test_clustergan_encoder_import_forward():
+    """Encoder_CNN (clustergan.py:196-245) — VALID-pad convs + flatten +
+    twin-purpose latent head split zn / softmax zc."""
+    from tpugan.models.cluster_gan import EncoderCNN
+
+    class TE(nn.Module):
+        def __init__(self, latent_dim=8, n_c=10):
+            super().__init__()
+            self.latent_dim = latent_dim
+            self.model = nn.Sequential(
+                nn.Conv2d(1, 64, 4, stride=2, bias=True),
+                nn.LeakyReLU(0.2, inplace=True),
+                nn.Conv2d(64, 128, 4, stride=2, bias=True),
+                nn.LeakyReLU(0.2, inplace=True),
+                nn.Flatten(),
+                nn.Linear(128 * 5 * 5, 1024),
+                nn.LeakyReLU(0.2, inplace=True),
+                nn.Linear(1024, latent_dim + n_c),
+            )
+
+        def forward(self, x):
+            z = self.model(x)
+            zn = z[:, : self.latent_dim]
+            zc_logits = z[:, self.latent_dim :]
+            return zn, torch.softmax(zc_logits, dim=1), zc_logits
+
+    te = randomize(TE(), 33).eval()
+    E = EncoderCNN(latent_dim=8, n_c=10)
+    x = _rng_img((2, 28, 28, 1), 33)
+    params, bs = _transplant(E, te, x)
+    (zn, zc, zc_logits), _ = apply_mod(E, params, bs, x, train=False)
+    with torch.no_grad():
+        tzn, tzc, tlg = te(nhwc_to_torch(x))
+    np.testing.assert_allclose(np.asarray(zn), tzn.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(zc), tzc.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(zc_logits), tlg.numpy(), atol=2e-5)
+
+
+# ------------------------------------------------------------- srgan D
+
+
+def test_srgan_discriminator_import_forward():
+    """The 8-conv SR discriminator family (srgan/models.py:74-105, shared
+    shape with esrgan) — paired stride-1/stride-2 conv blocks with default
+    eps BatchNorms."""
+    from tpugan.nn.sr import SRDiscriminator
+
+    rm = import_reference_models("srgan")
+    td = randomize(rm.Discriminator((3, 64, 64)), 34).eval()
+
+    D = SRDiscriminator()
+    x = _rng_img((2, 64, 64, 3), 34)
+    params, bs = _transplant(D, td, x)
+    ours, _ = apply_mod(D, params, bs, x, train=False)
+    with torch.no_grad():
+        theirs = torch_to_nhwc(td(nhwc_to_torch(x)))
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=2e-5)
