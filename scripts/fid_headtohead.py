@@ -24,8 +24,11 @@ machine):
     python scripts/fid_headtohead.py --train_tpugan  # ~1 min on the chip
     python scripts/fid_headtohead.py --score         # JSON verdict line
 
-Artifacts land in --out_dir (default /tmp/fid_h2h): <side>_samples.npy,
-float32 NHWC in [-1, 1].
+``--model gan`` switches to the template-A MLP config (gan/gan.py:38-81
+architectures, same loop semantics; ~4 min of torch CPU).
+
+Artifacts land in --out_dir (default /tmp/fid_h2h):
+<model>_<side>_samples.npy, float32 NHWC in [-1, 1].
 """
 
 from __future__ import annotations
@@ -40,20 +43,77 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-IMG, BATCH, LATENT, STEPS, N_EVAL = 32, 64, 100, 640, 1024
+BATCH, LATENT, STEPS, N_EVAL = 64, 100, 640, 1024
 
 
-def _dataset():
+def _tag(seed):
+    return "" if seed == 0 else f"_s{seed}"
+IMG_BY_MODEL = {"dcgan": 32, "gan": 28}  # dcgan.py:27 / gan.py:27 defaults
+
+
+def _img(model):
+    return IMG_BY_MODEL[model]
+
+
+def _dataset(model):
     from tpugan.data.sources import synthetic_image_dataset
 
-    return synthetic_image_dataset(4096, IMG, 1, seed=0)
+    return synthetic_image_dataset(4096, _img(model), 1, seed=0)
 
 
-def train_torch(out_dir: str) -> None:
+def _build_torch_gan(img):
+    """Template-A MLP G/D (gan/gan.py:38-81); NO weights_init_normal —
+    gan.py keeps torch defaults."""
+    import torch.nn as nn
+
+    class G(nn.Module):
+        def __init__(self):
+            super().__init__()
+
+            def block(i, o, normalize=True):
+                layers = [nn.Linear(i, o)]
+                if normalize:
+                    layers.append(nn.BatchNorm1d(o, 0.8))
+                layers.append(nn.LeakyReLU(0.2, inplace=True))
+                return layers
+
+            self.model = nn.Sequential(
+                *block(LATENT, 128, normalize=False),
+                *block(128, 256),
+                *block(256, 512),
+                *block(512, 1024),
+                nn.Linear(1024, img * img),
+                nn.Tanh(),
+            )
+            self.img = img
+
+        def forward(self, z):
+            return self.model(z).view(z.shape[0], 1, self.img, self.img)
+
+    class D(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.model = nn.Sequential(
+                nn.Linear(img * img, 512),
+                nn.LeakyReLU(0.2, inplace=True),
+                nn.Linear(512, 256),
+                nn.LeakyReLU(0.2, inplace=True),
+                nn.Linear(256, 1),
+                nn.Sigmoid(),
+            )
+
+        def forward(self, x):
+            return self.model(x.view(x.shape[0], -1))
+
+    return G(), D()
+
+
+def train_torch(model: str, out_dir: str, seed: int = 0) -> None:
     import torch
     import torch.nn as nn
 
-    torch.manual_seed(0)
+    torch.manual_seed(seed)
+    IMG = _img(model)
 
     # Reference dcgan.py:45-99 architectures at img_size=32 (init_size 8,
     # D downsample 32/2^4 = 2).
@@ -113,18 +173,21 @@ def train_torch(out_dir: str) -> None:
             nn.init.normal_(m.weight.data, 1.0, 0.02)
             nn.init.constant_(m.bias.data, 0.0)
 
-    g, d = G(), D()
-    g.apply(weights_init_normal)
-    d.apply(weights_init_normal)
+    if model == "gan":
+        g, d = _build_torch_gan(IMG)
+    else:
+        g, d = G(), D()
+        g.apply(weights_init_normal)  # dcgan.py:108-109; gan.py has no init
+        d.apply(weights_init_normal)
     adversarial_loss = nn.BCELoss()
     opt_g = torch.optim.Adam(g.parameters(), lr=2e-4, betas=(0.5, 0.999))
     opt_d = torch.optim.Adam(d.parameters(), lr=2e-4, betas=(0.5, 0.999))
 
-    ds = _dataset()
-    # (N, 1, 32, 32) in [-1, 1] — transforms.Normalize([0.5], [0.5]) on /255.
+    ds = _dataset(model)
+    # (N, 1, IMG, IMG) in [-1, 1] — transforms.Normalize([0.5], [0.5]) on /255.
     data = (ds.images.astype(np.float32) / 255.0 - 0.5) / 0.5
     data = np.transpose(data, (0, 3, 1, 2))
-    shuffle_rng = np.random.default_rng(0)
+    shuffle_rng = np.random.default_rng(seed)
 
     step, t0 = 0, time.time()
     while step < STEPS:
@@ -166,25 +229,31 @@ def train_torch(out_dir: str) -> None:
             outs.append(g(z).numpy())
     samples = np.transpose(np.concatenate(outs), (0, 2, 3, 1))
     os.makedirs(out_dir, exist_ok=True)
-    np.save(os.path.join(out_dir, "torch_samples.npy"), samples)
-    print(f"[torch] wrote {samples.shape} to {out_dir}/torch_samples.npy")
+    path = os.path.join(out_dir, f"{model}_torch_samples{_tag(seed)}.npy")
+    np.save(path, samples)
+    print(f"[torch] wrote {samples.shape} to {path}")
 
 
-def train_tpugan(out_dir: str) -> None:
+def train_tpugan(model: str, out_dir: str, seed: int = 0, cpu: bool = False) -> None:
+    import importlib
+
     import jax
     import jax.numpy as jnp
 
     from tpugan.data import DeviceLoader
-    from tpugan.models import dcgan
     from tpugan.models._common import apply_mod
 
-    cfg = dcgan.Config(img_size=IMG, batch_size=BATCH, seed=0, synthetic_data=True)
-    modules = dcgan.build(cfg)
-    state = dcgan.create_state(cfg, modules)
-    step_fn = jax.jit(dcgan.make_step(cfg, modules), donate_argnums=0)
+    if cpu:
+        jax.config.update("jax_platforms", "cpu")
+    IMG = _img(model)
+    recipe = importlib.import_module(f"tpugan.models.{model}")
+    cfg = recipe.Config(img_size=IMG, batch_size=BATCH, seed=seed, synthetic_data=True)
+    modules = recipe.build(cfg)
+    state = recipe.create_state(cfg, modules)
+    step_fn = jax.jit(recipe.make_step(cfg, modules), donate_argnums=0)
 
-    ds = _dataset()
-    loader = DeviceLoader([ds.images, ds.labels], BATCH, shuffle=True, seed=0)
+    ds = _dataset(model)
+    loader = DeviceLoader([ds.images, ds.labels], BATCH, shuffle=True, seed=seed)
     t0, n = time.time(), 0
     for epoch in range(10**9):
         for batch in loader.epoch(epoch):
@@ -221,30 +290,35 @@ def train_tpugan(out_dir: str) -> None:
         )
     samples = np.concatenate(outs)
     os.makedirs(out_dir, exist_ok=True)
-    np.save(os.path.join(out_dir, "tpugan_samples.npy"), samples)
-    print(f"[tpugan] wrote {samples.shape} to {out_dir}/tpugan_samples.npy")
+    path = os.path.join(out_dir, f"{model}_tpugan_samples{_tag(seed)}.npy")
+    np.save(path, samples)
+    print(f"[tpugan] wrote {samples.shape} to {path}")
 
 
-def score(out_dir: str) -> None:
+def score(model: str, out_dir: str, seed: int = 0) -> None:
     import jax.numpy as jnp
 
     from tpugan.data.sources import synthetic_image_dataset
     from tpugan.metrics.fid import VGGFeatureModel, fid_from_features
 
+    IMG = _img(model)
     reals = synthetic_image_dataset(N_EVAL, IMG, 1, seed=1)
     real_x = (reals.images.astype(np.float32) / 255.0) * 2.0 - 1.0
 
-    model = VGGFeatureModel()
-    real_f = model([jnp.asarray(real_x[i : i + 256]) for i in range(0, N_EVAL, 256)])
-    result = {"protocol": f"dcgan {IMG}px b{BATCH} {STEPS} steps, "
-                          f"{N_EVAL} samples vs held-out reals"}
+    fm = VGGFeatureModel()
+    real_f = fm([jnp.asarray(real_x[i : i + 256]) for i in range(0, N_EVAL, 256)])
+    result = {"protocol": f"{model} {IMG}px b{BATCH} {STEPS} steps, "
+                          f"{N_EVAL} samples vs held-out reals",
+              "seed": seed}
     for side in ("torch", "tpugan"):
-        path = os.path.join(out_dir, f"{side}_samples.npy")
+        path = os.path.join(out_dir, f"{model}_{side}_samples{_tag(seed)}.npy")
+        if not os.path.exists(path):  # pre-rename dcgan artifacts
+            path = os.path.join(out_dir, f"{side}_samples.npy")
         if not os.path.exists(path):
             result[side] = None
             continue
         s = np.load(path)
-        f = model([jnp.asarray(s[i : i + 256]) for i in range(0, N_EVAL, 256)])
+        f = fm([jnp.asarray(s[i : i + 256]) for i in range(0, N_EVAL, 256)])
         result[side] = round(fid_from_features(real_f, f), 3)
     if result.get("torch") and result.get("tpugan"):
         result["tpugan_vs_torch_pct"] = round(
@@ -255,17 +329,22 @@ def score(out_dir: str) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="dcgan", choices=sorted(IMG_BY_MODEL))
     ap.add_argument("--train_torch", action="store_true")
     ap.add_argument("--train_tpugan", action="store_true")
     ap.add_argument("--score", action="store_true")
     ap.add_argument("--out_dir", default="/tmp/fid_h2h")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="training-side seed (reals stay seed 1)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run the tpugan side on CPU (numerics-identical fp32)")
     args = ap.parse_args()
     if args.train_torch:
-        train_torch(args.out_dir)
+        train_torch(args.model, args.out_dir, seed=args.seed)
     if args.train_tpugan:
-        train_tpugan(args.out_dir)
+        train_tpugan(args.model, args.out_dir, seed=args.seed, cpu=args.cpu)
     if args.score:
-        score(args.out_dir)
+        score(args.model, args.out_dir, seed=args.seed)
     if not (args.train_torch or args.train_tpugan or args.score):
         ap.error("pick at least one phase")
 
