@@ -6,13 +6,16 @@ Used by bicyclegan's VAE Encoder
 layer1 (64) + layer2 (128, s2) + layer3 (256, s2), i.e. output stride 16
 with 256 channels. Init parity: torchvision's kaiming_normal(fan_out) convs
 and unit BatchNorms (the reference does NOT apply weights_init_normal to
-the encoder — bicyclegan.py:74-78 inits generator and Ds only).
+the encoder — bicyclegan.py:74-78 inits generator and Ds only). Norms are
+tpugan's torch-parity BatchNorm (nn/layers.py: momentum 0.1, UNBIASED
+running variance — raw flax nn.BatchNorm differs on both).
 """
 
 from __future__ import annotations
 
 import flax.linen as nn
 
+from tpugan.nn.layers import BatchNorm
 from tpugan.ops.init import kaiming_normal
 
 
@@ -37,13 +40,13 @@ class _BasicBlock(nn.Module):
     def __call__(self, x, train: bool = True):
         identity = x
         y = _conv(self.features, 3, self.stride, 1)(x)
-        y = nn.BatchNorm(use_running_average=not train)(y)
+        y = BatchNorm()(y, train=train)
         y = nn.relu(y)
         y = _conv(self.features, 3, 1, 1)(y)
-        y = nn.BatchNorm(use_running_average=not train)(y)
+        y = BatchNorm()(y, train=train)
         if self.downsample:
             identity = _conv(self.features, 1, self.stride, 0)(x)
-            identity = nn.BatchNorm(use_running_average=not train)(identity)
+            identity = BatchNorm()(identity, train=train)
         return nn.relu(y + identity)
 
 
@@ -53,7 +56,7 @@ class ResNet18Trunk(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         y = _conv(64, 7, 2, 3)(x)
-        y = nn.BatchNorm(use_running_average=not train)(y)
+        y = BatchNorm()(y, train=train)
         y = nn.relu(y)
         # MaxPool 3x3 s2 p1.
         y = nn.max_pool(
