@@ -217,3 +217,35 @@ def test_cyclegan_batched_applications_match_unbatched():
         + (mse(pr_b, 1.0) + mse(pf_b, 0.0)) / 2
     ) / 2
     np.testing.assert_allclose(float(out["d_loss"]), float(d_loss), rtol=1e-5)
+
+
+def test_residual_remat_mode_is_bit_exact(monkeypatch):
+    """TPUGAN_REMAT=names (selective remat of the residual trunk,
+    nn/im2im.py:_residual_remat) must keep the param tree, forward, and
+    gradients identical to the default path — it only changes what is
+    stashed for backward."""
+    from tpugan.nn.im2im import GeneratorResNet
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 32, 32, 3)), jnp.float32
+    )
+
+    def build(mode):
+        monkeypatch.setenv("TPUGAN_REMAT", mode)
+        G = GeneratorResNet(channels=3, num_residual_blocks=3)
+        params = G.init(jax.random.PRNGKey(0), x)["params"]
+
+        def loss(p):
+            return jnp.sum(G.apply({"params": p}, x) ** 2)
+
+        v, g = jax.jit(jax.value_and_grad(loss))(params)
+        return params, v, g
+
+    p0, v0, g0 = build("off")
+    p1, v1, g1 = build("names")
+    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
+    for a, b in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1)):
+        assert jnp.array_equal(a, b)
+    assert float(v0) == float(v1)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        assert jnp.array_equal(a, b)

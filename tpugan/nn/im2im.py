@@ -126,6 +126,20 @@ class GeneratorUNet(nn.Module):
         return jnp.tanh(y)
 
 
+def _residual_remat() -> bool:
+    """TPUGAN_REMAT=names opts the residual trunk into selective
+    rematerialization: only conv boundaries (tagged ``cg_conv_in`` /
+    ``cg_conv_out``) are stashed for backward; pads, instance-norm stats
+    and activations are recomputed from them. Unlike full nn.remat —
+    measured SLOWER at 256px/batch-1 (BASELINE.md: recompute of the convs
+    costs more than the stash bandwidth saved) — this policy never redoes
+    a conv: wgrads read the saved inputs, the elementwise tail re-derives
+    from the saved outputs. Off by default pending a hardware win."""
+    import os
+
+    return os.environ.get("TPUGAN_REMAT", "off") == "names"
+
+
 class ResidualBlockIN(nn.Module):
     """cyclegan/models.py:22-37: ReflectionPad(1)-Conv3-IN-ReLU-
     ReflectionPad(1)-Conv3-IN with identity skip."""
@@ -136,13 +150,19 @@ class ResidualBlockIN(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         del train
+        from jax.ad_checkpoint import checkpoint_name
+
         from tpugan.ops.pallas_kernels import instance_norm_act
 
         y = reflection_pad(x, 1)
+        y = checkpoint_name(y, "cg_conv_in")
         y = Conv(self.features, 3, 1, 0, init_mode=self.init_mode)(y)
+        y = checkpoint_name(y, "cg_conv_out")
         y = instance_norm_act(y, 0.0)  # fused IN+ReLU under TPUGAN_PALLAS=1
         y = reflection_pad(y, 1)
+        y = checkpoint_name(y, "cg_conv_in")
         y = Conv(self.features, 3, 1, 0, init_mode=self.init_mode)(y)
+        y = checkpoint_name(y, "cg_conv_out")
         y = InstanceNorm()(y)
         return x + y
 
@@ -172,8 +192,19 @@ class GeneratorResNet(nn.Module):
             feats *= 2
             y = Conv(feats, 3, 2, 1, init_mode=im)(y)
             y = instance_norm_act(y, 0.0)
-        for _ in range(self.num_residual_blocks):
-            y = ResidualBlockIN(feats, init_mode=im)(y)
+        block_cls = ResidualBlockIN
+        if _residual_remat():
+            block_cls = nn.remat(
+                ResidualBlockIN,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "cg_conv_in", "cg_conv_out"
+                ),
+            )
+        for i in range(self.num_residual_blocks):
+            # Explicit name: the nn.remat wrapper would otherwise rename
+            # the scope (Checkpoint... prefix) and break checkpoint/interop
+            # path compatibility between the two modes.
+            y = block_cls(feats, init_mode=im, name=f"ResidualBlockIN_{i}")(y)
         for _ in range(2):
             feats //= 2
             y = Upsample(2)(y)
