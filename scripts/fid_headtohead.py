@@ -13,9 +13,11 @@ measures both sides under an identical protocol:
   fresh z then D step on real + detached fakes, BCE, Adam(2e-4, 0.5,
   0.999), weights_init_normal, batch 64) for 640 steps (10 epochs), the
   BASELINE.md trajectory protocol;
-- scoring: 1024 samples per side vs the SAME 1024 held-out reals (seed 1)
-  through the SAME feature extractor (tpugan.metrics.fid.VGGFeatureModel,
-  deterministic He-random features, PRNGKey(0)).
+- scoring: 1024 samples per side, both generated in EVAL mode (torch
+  g.eval() / tpugan train=False over torch-parity running BN stats), vs
+  the SAME 1024 held-out reals (seed 1) through the SAME feature
+  extractor (tpugan.metrics.fid.VGGFeatureModel, deterministic He-random
+  features, PRNGKey(0)).
 
 Phases (separable so the torch CPU run and the TPU run never share the
 machine):
@@ -274,7 +276,11 @@ def train_tpugan(model: str, out_dir: str, seed: int = 0, cpu: bool = False) -> 
 
     @jax.jit
     def gen(params, g_bs, z):
-        out, _ = apply_mod(G, params, g_bs, z, train=True)
+        # Eval-mode sampling (running-stat BN) to mirror the torch side's
+        # g.eval() exactly — symmetric protocol. tpugan's BatchNorm stores
+        # torch-parity UNBIASED running variance (nn/layers.py), so the
+        # two sides' eval semantics match.
+        out, _ = apply_mod(G, params, g_bs, z, train=False)
         return out
 
     rng = jax.random.PRNGKey(123)
