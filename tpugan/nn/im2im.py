@@ -127,17 +127,19 @@ class GeneratorUNet(nn.Module):
 
 
 def _residual_remat() -> bool:
-    """TPUGAN_REMAT=names opts the residual trunk into selective
-    rematerialization: only conv boundaries (tagged ``cg_conv_in`` /
-    ``cg_conv_out``) are stashed for backward; pads, instance-norm stats
-    and activations are recomputed from them. Unlike full nn.remat —
-    measured SLOWER at 256px/batch-1 (BASELINE.md: recompute of the convs
-    costs more than the stash bandwidth saved) — this policy never redoes
-    a conv: wgrads read the saved inputs, the elementwise tail re-derives
-    from the saved outputs. Off by default pending a hardware win."""
+    """Selective rematerialization of the residual trunk (DEFAULT ON;
+    ``TPUGAN_REMAT=off`` disables): only conv boundaries (tagged
+    ``cg_conv_in`` / ``cg_conv_out``) are stashed for backward; pads,
+    instance-norm stats and activations are recomputed from them. Unlike
+    full nn.remat — measured SLOWER at 256px/batch-1 (BASELINE.md:
+    recompute of the convs costs more than the stash bandwidth saved) —
+    this policy never redoes a conv: wgrads read the saved inputs, the
+    elementwise tail re-derives from the saved outputs. Measured +10% on
+    the CycleGAN 256px step (same-session A/B both orders, BASELINE.md);
+    bit-exact vs the off path (tests/test_im2im_core.py)."""
     import os
 
-    return os.environ.get("TPUGAN_REMAT", "off") == "names"
+    return os.environ.get("TPUGAN_REMAT", "names") == "names"
 
 
 class ResidualBlockIN(nn.Module):
