@@ -1,0 +1,204 @@
+#!/usr/bin/env python
+"""tpugan throughput for the remaining BASELINE.json acceptance configs.
+
+bench.py covers DCGAN 64px and scripts/bench_cyclegan.py the 256px config;
+this script measures the other three acceptance-table rows (BASELINE.md
+"Consequence" table) at the reference's own defaults:
+
+- ``gan``      MLP G/D, 28px, batch 64 (gan/gan.py:21-28)
+- ``wgan_gp``  MLP G/critic, 28px, batch 64, n_critic=5
+               (wgan_gp/wgan_gp.py:23-31, schedule wgan_gp.py:144-203:
+               critic on EVERY batch, G every n_critic batches reusing the
+               critic's z)
+- ``srgan``    SRResNet G + VGG54 content loss, HR 256px, batch 4
+               (srgan/srgan.py:38-46)
+- ``esrgan``   RRDB-23 G + RaGAN + VGG perceptual, HR 256px, batch 4,
+               steady-state full step, not the pixel-only warmup
+               (esrgan/esrgan.py:38-50)
+
+One JSON line per run, same schema as bench.py. The MLP configs are
+sub-millisecond steps, so they use the fused K-step dispatch
+(train/loop.py:scan_steps) exactly like bench.py; the SR configs are
+dispatch-bound-free and run one step per dispatch like bench_cyclegan.
+Timing is the shared protocol: warmup excluded, difference method over two
+run lengths with a hard scalar sync (axon's block_until_ready under-waits
+on short bursts — BASELINE.md timing note).
+
+torch-CPU anchors: scripts/baseline_torch_zoo.py (same configs, same
+schedules, measured on this host — the reference publishes no numbers).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os as _os
+import sys as _sys
+import time
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+# Measured by scripts/baseline_torch_zoo.py on this host (PyTorch CPU,
+# reference semantics; see BASELINE.md "Measured anchors").
+TORCH_CPU_ANCHOR_IPS = {
+    "gan": 1644.7,      # 30 steps after 3 warmup
+    "wgan_gp": 1566.3,  # 10 schedule units after 2 (counts critic batches)
+    "srgan": 0.2509,    # 2 steps after 1 warmup (15.9 s/step)
+    "esrgan": 0.0401,   # 2 steps after 1 warmup (99.7 s/step)
+}
+
+
+def _sync(out, key):
+    v = out[key]
+    float(v[-1] if getattr(v, "ndim", 0) else v)
+
+
+def _measure(dispatch, images_per_dispatch, n1, n2, key):
+    """Warmup + best-of-3 difference-method images/sec."""
+    dispatch(1, sync=True)  # compile + first burst
+    candidates, fallback = [], 0.0
+    for _ in range(3):
+        t1 = dispatch(n1, sync=True)
+        t2 = dispatch(n2, sync=True)
+        fallback = max(fallback, n2 * images_per_dispatch / t2)
+        if t2 - t1 > 0.2 * t2:
+            candidates.append((n2 - n1) * images_per_dispatch / (t2 - t1))
+    return max(candidates) if candidates else fallback
+
+
+def bench_gan() -> tuple[float, str]:
+    from tpugan.models import gan
+    from tpugan.train.loop import scan_steps
+
+    K, B, IMG = 60, 64, 28
+    cfg = gan.Config(batch_size=B, img_size=IMG, synthetic_data=True)
+    modules = gan.build(cfg)
+    state = gan.create_state(cfg, modules)
+    steps = jax.jit(scan_steps(gan.make_step(cfg, modules)), donate_argnums=0)
+    rng = np.random.default_rng(0)
+    imgs = jax.device_put(
+        rng.integers(0, 255, (K, B, IMG, IMG, 1), dtype=np.uint8)
+    )
+    labels = jax.device_put(np.zeros((K, B), np.int32))
+
+    def dispatch(n, sync):
+        nonlocal state
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, out = steps(state, imgs, labels)
+        if sync:
+            _sync(out, "d_loss")
+        return time.perf_counter() - t0
+
+    return _measure(dispatch, K * B, 1, 4, "d_loss"), "gan_train_images_per_sec_28px"
+
+
+def bench_wgan_gp() -> tuple[float, str]:
+    from tpugan.models import wgan_gp
+    from tpugan.train.loop import scan_steps
+
+    K, B, IMG = 12, 64, 28
+    cfg = wgan_gp.Config(batch_size=B, img_size=IMG, synthetic_data=True)
+    modules = wgan_gp.build(cfg)
+    state = wgan_gp.create_state(cfg, modules)
+    d_step, g_step = wgan_gp.make_steps(cfg, modules)
+    nc = cfg.n_critic
+
+    def round_fn(state, imgs5, labels5):
+        # One reference schedule unit (wgan_gp.py:144-203): critic on every
+        # batch; G trains right after the FIRST critic batch of the unit
+        # (i % n_critic == 0) reusing that batch's z.
+        state, out0 = d_step(state, imgs5[0], labels5[0])
+        state, g_out = g_step(state, out0["z"])
+        d_loss = out0["d_loss"]
+        for j in range(1, nc):
+            state, oj = d_step(state, imgs5[j], labels5[j])
+            d_loss = oj["d_loss"]
+        return state, {"d_loss": d_loss, "g_loss": g_out["g_loss"]}
+
+    steps = jax.jit(scan_steps(round_fn), donate_argnums=0)
+    rng = np.random.default_rng(0)
+    imgs = jax.device_put(
+        rng.integers(0, 255, (K, nc, B, IMG, IMG, 1), dtype=np.uint8)
+    )
+    labels = jax.device_put(np.zeros((K, nc, B), np.int32))
+
+    def dispatch(n, sync):
+        nonlocal state
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, out = steps(state, imgs, labels)
+        if sync:
+            _sync(out, "d_loss")
+        return time.perf_counter() - t0
+
+    # images/sec counts every critic batch (the reference consumes one
+    # loader batch per critic step).
+    return (
+        _measure(dispatch, K * nc * B, 1, 4, "d_loss"),
+        "wgan_gp_train_images_per_sec_28px",
+    )
+
+
+def _bench_sr(model: str, n_steps: int) -> tuple[float, str]:
+    mod = __import__(f"tpugan.models.{model}", fromlist=[model])
+    B, HR = 4, 256
+    cfg = mod.Config(batch_size=B, hr_height=HR, hr_width=HR, synthetic_data=True)
+    modules = mod.build(cfg)
+    state = mod.create_state(cfg, modules)
+    if hasattr(mod, "make_steps"):  # esrgan: (warmup_step, full_step)
+        step_fn = mod.make_steps(cfg, modules)[1]
+    else:
+        step_fn = mod.make_step(cfg, modules)
+    step = jax.jit(step_fn, donate_argnums=0)
+    rng = np.random.default_rng(0)
+    hr_u8 = jax.device_put(
+        rng.integers(0, 255, (B, HR, HR, 3), dtype=np.uint8)
+    )
+
+    def dispatch(n, sync):
+        nonlocal state
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, out = step(state, hr_u8)
+        if sync:
+            _sync(out, "d_loss")
+        return time.perf_counter() - t0
+
+    n1 = max(n_steps // 4, 1)
+    return (
+        _measure(dispatch, B, n1, n_steps, "d_loss"),
+        f"{model}_train_images_per_sec_256px",
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--model", required=True, choices=["gan", "wgan_gp", "srgan", "esrgan"]
+    )
+    args = ap.parse_args()
+    if args.model == "gan":
+        ips, metric = bench_gan()
+    elif args.model == "wgan_gp":
+        ips, metric = bench_wgan_gp()
+    elif args.model == "srgan":
+        ips, metric = _bench_sr("srgan", 16)
+    else:
+        ips, metric = _bench_sr("esrgan", 8)
+    anchor = TORCH_CPU_ANCHOR_IPS.get(args.model)
+    rec = {
+        "metric": metric,
+        "value": round(ips, 2),
+        "unit": "images/sec/chip",
+    }
+    if anchor:
+        rec["vs_baseline"] = round(ips / anchor, 1)
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()
