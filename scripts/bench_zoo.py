@@ -73,7 +73,10 @@ def bench_gan() -> tuple[float, str]:
     from tpugan.models import gan
     from tpugan.train.loop import scan_steps
 
-    K, B, IMG = 60, 64, 28
+    # K=600 (vs bench.py's 60): the MLP step is ~30 us of compute, so even
+    # 60 fused steps leave the dispatch latency-dominated; 600 puts ~20 ms
+    # of compute behind each dispatch. uint8 stack = 28 MB host->device.
+    K, B, IMG = 600, 64, 28
     cfg = gan.Config(batch_size=B, img_size=IMG, synthetic_data=True)
     modules = gan.build(cfg)
     state = gan.create_state(cfg, modules)
@@ -100,7 +103,9 @@ def bench_wgan_gp() -> tuple[float, str]:
     from tpugan.models import wgan_gp
     from tpugan.train.loop import scan_steps
 
-    K, B, IMG = 12, 64, 28
+    # 48 schedule units (240 critic + 48 G steps) per dispatch — like the
+    # gan config, enough fused compute to stop paying dispatch latency.
+    K, B, IMG = 48, 64, 28
     cfg = wgan_gp.Config(batch_size=B, img_size=IMG, synthetic_data=True)
     modules = wgan_gp.build(cfg)
     state = wgan_gp.create_state(cfg, modules)
