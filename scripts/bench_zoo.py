@@ -101,10 +101,13 @@ def bench_gan() -> tuple[float, str]:
 
 def bench_wgan_gp() -> tuple[float, str]:
     from tpugan.models import wgan_gp
+    from tpugan.models._critic_family import make_schedule_unit
     from tpugan.train.loop import scan_steps
 
     # 48 schedule units (240 critic + 48 G steps) per dispatch — like the
     # gan config, enough fused compute to stop paying dispatch latency.
+    # make_schedule_unit is the SAME fused unit the CLI's
+    # --steps_per_dispatch uses (reference schedule wgan_gp.py:144-203).
     K, B, IMG = 48, 64, 28
     cfg = wgan_gp.Config(batch_size=B, img_size=IMG, synthetic_data=True)
     modules = wgan_gp.build(cfg)
@@ -112,19 +115,9 @@ def bench_wgan_gp() -> tuple[float, str]:
     d_step, g_step = wgan_gp.make_steps(cfg, modules)
     nc = cfg.n_critic
 
-    def round_fn(state, imgs5, labels5):
-        # One reference schedule unit (wgan_gp.py:144-203): critic on every
-        # batch; G trains right after the FIRST critic batch of the unit
-        # (i % n_critic == 0) reusing that batch's z.
-        state, out0 = d_step(state, imgs5[0], labels5[0])
-        state, g_out = g_step(state, out0["z"])
-        d_loss = out0["d_loss"]
-        for j in range(1, nc):
-            state, oj = d_step(state, imgs5[j], labels5[j])
-            d_loss = oj["d_loss"]
-        return state, {"d_loss": d_loss, "g_loss": g_out["g_loss"]}
-
-    steps = jax.jit(scan_steps(round_fn), donate_argnums=0)
+    steps = jax.jit(
+        scan_steps(make_schedule_unit(cfg, d_step, g_step)), donate_argnums=0
+    )
     rng = np.random.default_rng(0)
     imgs = jax.device_put(
         rng.integers(0, 255, (K, nc, B, IMG, IMG, 1), dtype=np.uint8)

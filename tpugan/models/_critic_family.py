@@ -143,6 +143,53 @@ def make_loader_a(cfg, sharding=None) -> DeviceLoader:
     )
 
 
+def make_schedule_unit(cfg, d_step, g_step):
+    """One reference schedule unit as a single jittable step: critic on
+    ``n_critic`` consecutive batches, G after the FIRST (reusing that
+    batch's z) — the exact host order of wgan_gp.py:144-203 (the G branch
+    fires when ``i % n_critic == 0``, i.e. on the unit's first batch).
+
+    ``imgs``/``labels`` carry a leading n_critic axis (one loader batch per
+    critic step). Out dict: the G-batch scalars the reference prints
+    (d_loss of the unit's first batch + g_loss) and the unit's ``gen_imgs``
+    (heavy — under scan_steps only the last unit's survive, which is the
+    documented fused-dispatch sampling deviation). Numerics: same RNG
+    chain and update order as the unfused host loop, equivalent to
+    ulp-level XLA reassociation (bitwise stability across jit
+    granularities is not an XLA guarantee — tests/test_critic_family.py
+    pins the observed bounds).
+    """
+
+    def barrier(tree):
+        # The unfused loop materializes the full TrainState at every
+        # dispatch boundary; without this, XLA fuses across the sub-step
+        # seams (e.g. a param update into the next critic forward) with
+        # different rounding and the fused loop drifts measurably (1e-5
+        # scale) from the unfused one. optimization_barrier restores
+        # dispatch-boundary semantics inside the compiled unit, leaving
+        # only ulp-level instruction-selection differences.
+        flat, treedef = jax.tree_util.tree_flatten(tree)
+        return jax.tree_util.tree_unflatten(
+            treedef, jax.lax.optimization_barrier(flat)
+        )
+
+    def unit(state, imgs, labels):
+        state, d0 = d_step(state, imgs[0], labels[0])
+        state, d0 = barrier((state, d0))
+        state, g_out = g_step(state, d0["z"])
+        state = barrier(state)
+        for j in range(1, cfg.n_critic):
+            state, _ = d_step(state, imgs[j], labels[j])
+            state = barrier(state)
+        return state, {
+            "d_loss": d0["d_loss"],
+            "g_loss": g_out["g_loss"],
+            "gen_imgs": g_out["gen_imgs"],
+        }
+
+    return unit
+
+
 def run_critic_family(cfg, modules, state, d_step, g_step, sample_inside_gstep: bool):
     """Host loop mirroring the reference batches_done accounting.
 
@@ -150,6 +197,15 @@ def run_critic_family(cfg, modules, state, d_step, g_step, sample_inside_gstep: 
     G output, batches_done += 1 per batch; wgan.py:160-166).
     sample_inside_gstep=True: wgan_gp/div style (check only on G batches,
     batches_done += n_critic; wgan_gp.py:196-203).
+
+    ``--steps_per_dispatch K`` fuses K schedule units (K*(n_critic+1)
+    optimizer steps) into one device dispatch via scan_steps — same RNG
+    chain and update order as the unfused loop (ulp-level XLA
+    reassociation only; see make_schedule_unit); telemetry/logging keeps
+    the reference's G-batch granularity (the only granularity it prints);
+    PNG samples use the dispatch's last unit (same deviation as
+    train/loop.py's fused path). Epoch tails that don't fill a unit or a
+    dispatch flush through the unfused path.
     """
     from tpugan.models._im2im_common import StepObserver
     from tpugan.parallel import auto_sharding, replicate_for
@@ -159,9 +215,18 @@ def run_critic_family(cfg, modules, state, d_step, g_step, sample_inside_gstep: 
     sharding = auto_sharding(cfg.batch_size)
     loader = make_loader_a(cfg, sharding=sharding)
     state = replicate_for(sharding, state)
-    observer = StepObserver(cfg)
+    observer = StepObserver(cfg, supports_fused_dispatch=True)
     jd = jax.jit(d_step, donate_argnums=0)
     jg = jax.jit(g_step, donate_argnums=0)
+    k = max(1, int(getattr(cfg, "steps_per_dispatch", 1)))
+    scan = None
+    if k > 1:
+        from tpugan.train.loop import _stack_batches, scan_steps
+
+        scan = jax.jit(
+            scan_steps(make_schedule_unit(cfg, d_step, g_step)),
+            donate_argnums=0,
+        )
     bpe = len(loader)
     if cfg.max_batches >= 0:
         bpe = min(bpe, cfg.max_batches)
@@ -176,44 +241,108 @@ def run_critic_family(cfg, modules, state, d_step, g_step, sample_inside_gstep: 
             normalize=True,
         )
 
-    for epoch in range(cfg.n_epochs):
-        for i, batch in enumerate(loader.epoch(epoch)):
-            if cfg.max_batches >= 0 and i >= cfg.max_batches:
-                break
-            state, d_out = jd(state, *batch)
-            if i % cfg.n_critic != 0:
-                observer.observe(epoch * bpe + i, d_out)
-            else:
-                state, g_out = jg(state, d_out["z"])
-                observer.observe(epoch * bpe + i, {**d_out, **g_out})
-                last_gen = g_out["gen_imgs"]
-                if cfg.log_interval > 0 and i % cfg.log_interval == 0:
-                    print(
-                        "[Epoch %d/%d] [Batch %d/%d] [D loss: %f] [G loss: %f]"
-                        % (
-                            epoch,
-                            cfg.n_epochs,
-                            (batches_done % bpe) if not sample_inside_gstep else i,
-                            bpe,
-                            float(d_out["d_loss"]),
-                            float(g_out["g_loss"]),
-                        )
-                    )
-                if (
-                    sample_inside_gstep
-                    and cfg.sample_interval > 0
-                    and batches_done % cfg.sample_interval == 0
-                ):
-                    save(last_gen, batches_done)
-            if not sample_inside_gstep:
+    def log_line(epoch, i, d_loss, g_loss):
+        print(
+            "[Epoch %d/%d] [Batch %d/%d] [D loss: %f] [G loss: %f]"
+            % (
+                epoch,
+                cfg.n_epochs,
+                (batches_done % bpe) if not sample_inside_gstep else i,
+                bpe,
+                float(d_loss),
+                float(g_loss),
+            )
+        )
+
+    def run_batch(epoch, i, batch):
+        """One loader batch through the unfused path (also serves as the
+        fused mode's epoch-tail flush)."""
+        nonlocal state, batches_done, last_gen
+        state, d_out = jd(state, *batch)
+        if i % cfg.n_critic != 0:
+            observer.observe(epoch * bpe + i, d_out)
+        else:
+            state, g_out = jg(state, d_out["z"])
+            observer.observe(epoch * bpe + i, {**d_out, **g_out})
+            last_gen = g_out["gen_imgs"]
+            if cfg.log_interval > 0 and i % cfg.log_interval == 0:
+                log_line(epoch, i, d_out["d_loss"], g_out["g_loss"])
+            if (
+                sample_inside_gstep
+                and cfg.sample_interval > 0
+                and batches_done % cfg.sample_interval == 0
+            ):
+                save(last_gen, batches_done)
+        if not sample_inside_gstep:
+            if (
+                cfg.sample_interval > 0
+                and batches_done % cfg.sample_interval == 0
+                and last_gen is not None
+            ):
+                save(last_gen, batches_done)
+            batches_done += 1
+        elif i % cfg.n_critic == 0:
+            batches_done += cfg.n_critic
+
+    def replay_units(epoch, first_is, out):
+        """Replay the host-side work for one fused dispatch from the
+        stacked G-batch scalars (sampling uses the dispatch's LAST unit's
+        images — same documented deviation as run_training's fused path)."""
+        nonlocal batches_done, last_gen
+        observer.profile_tick(out)
+        host = {n: jax.device_get(v) for n, v in out.items() if n != "gen_imgs"}
+        last_gen = out["gen_imgs"]
+        for j, i0 in enumerate(first_is):
+            row = {"d_loss": host["d_loss"][j], "g_loss": host["g_loss"][j]}
+            observer.observe(epoch * bpe + i0, row, dispatch=False)
+            if cfg.log_interval > 0 and i0 % cfg.log_interval == 0:
+                log_line(epoch, i0, row["d_loss"], row["g_loss"])
+            if sample_inside_gstep:
                 if (
                     cfg.sample_interval > 0
                     and batches_done % cfg.sample_interval == 0
-                    and last_gen is not None
                 ):
                     save(last_gen, batches_done)
-                batches_done += 1
-            elif i % cfg.n_critic == 0:
                 batches_done += cfg.n_critic
+            else:
+                for _ in range(cfg.n_critic):
+                    if (
+                        cfg.sample_interval > 0
+                        and batches_done % cfg.sample_interval == 0
+                    ):
+                        save(last_gen, batches_done)
+                    batches_done += 1
+
+    for epoch in range(cfg.n_epochs):
+        unit_buf = []  # (i, batch) filling the current schedule unit
+        units = []  # (first_i, [batches]) awaiting a full dispatch
+        for i, batch in enumerate(loader.epoch(epoch)):
+            if cfg.max_batches >= 0 and i >= cfg.max_batches:
+                break
+            if scan is None:
+                run_batch(epoch, i, batch)
+                continue
+            unit_buf.append((i, batch))
+            if len(unit_buf) < cfg.n_critic:
+                continue
+            units.append((unit_buf[0][0], [b for _, b in unit_buf]))
+            unit_buf = []
+            if len(units) < k:
+                continue
+            stacked = _stack_batches(
+                [_stack_batches(bs) for _, bs in units]
+            )
+            first_is = [fi for fi, _ in units]
+            units = []
+            state, out = scan(state, *stacked)
+            replay_units(epoch, first_is, out)
+        # Fused-mode epoch tail: units short of a dispatch and batches
+        # short of a unit flush through the unfused path (unit alignment
+        # is preserved — fi is always a multiple of n_critic).
+        for fi, bs in units:
+            for off, b in enumerate(bs):
+                run_batch(epoch, fi + off, b)
+        for i, b in unit_buf:
+            run_batch(epoch, i, b)
     observer.close()
     return state

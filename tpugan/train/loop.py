@@ -103,11 +103,11 @@ class StepObserver:
     so it works on resumed runs where batches_done starts high."""
 
     def __init__(self, cfg, supports_fused_dispatch: bool = False):
-        # Recipes with bespoke epoch loops (the im2im/SR families, the
-        # critic-gated wgan loops, bicyclegan's two-phase host logic)
-        # dispatch one step per device call; every such loop constructs a
-        # StepObserver, so warn here rather than silently ignoring the
-        # flag. run_training (the only fused-capable loop) opts out.
+        # Recipes with bespoke epoch loops (the im2im/SR families,
+        # bicyclegan's two-phase host logic) dispatch one step per device
+        # call; every such loop constructs a StepObserver, so warn here
+        # rather than silently ignoring the flag. The fused-capable loops
+        # — run_training and run_critic_family — opt out.
         if (
             not supports_fused_dispatch
             and getattr(cfg, "steps_per_dispatch", 1) > 1
