@@ -179,6 +179,20 @@ def main() -> None:
         "--model", required=True, choices=["gan", "wgan_gp", "srgan", "esrgan"]
     )
     args = ap.parse_args()
+    # TPUGAN_BENCH_DTYPE=bfloat16 measures the mixed-precision production
+    # config (same switch as bench.py/bench_cyclegan.py); default fp32 =
+    # reference parity.
+    dtype = _os.environ.get("TPUGAN_BENCH_DTYPE", "float32")
+    if dtype not in ("float32", "bfloat16"):
+        raise SystemExit(
+            f"TPUGAN_BENCH_DTYPE={dtype!r}: expected float32 or bfloat16"
+        )
+    if dtype == "bfloat16":
+        import jax.numpy as jnp
+
+        from tpugan.nn.layers import set_default_compute_dtype
+
+        set_default_compute_dtype(jnp.bfloat16)
     if args.model == "gan":
         ips, metric = bench_gan()
     elif args.model == "wgan_gp":
