@@ -56,7 +56,7 @@ def _sync(out, key):
     float(v[-1] if getattr(v, "ndim", 0) else v)
 
 
-def _measure(dispatch, images_per_dispatch, n1, n2, key):
+def _measure(dispatch, images_per_dispatch, n1, n2):
     """Warmup + best-of-3 difference-method images/sec."""
     dispatch(1, sync=True)  # compile + first burst
     candidates, fallback = [], 0.0
@@ -96,7 +96,7 @@ def bench_gan() -> tuple[float, str]:
             _sync(out, "d_loss")
         return time.perf_counter() - t0
 
-    return _measure(dispatch, K * B, 1, 4, "d_loss"), "gan_train_images_per_sec_28px"
+    return _measure(dispatch, K * B, 1, 4), "gan_train_images_per_sec_28px"
 
 
 def bench_wgan_gp() -> tuple[float, str]:
@@ -136,7 +136,7 @@ def bench_wgan_gp() -> tuple[float, str]:
     # images/sec counts every critic batch (the reference consumes one
     # loader batch per critic step).
     return (
-        _measure(dispatch, K * nc * B, 1, 4, "d_loss"),
+        _measure(dispatch, K * nc * B, 1, 4),
         "wgan_gp_train_images_per_sec_28px",
     )
 
@@ -168,7 +168,7 @@ def _bench_sr(model: str, n_steps: int) -> tuple[float, str]:
 
     n1 = max(n_steps // 4, 1)
     return (
-        _measure(dispatch, B, n1, n_steps, "d_loss"),
+        _measure(dispatch, B, n1, n_steps),
         f"{model}_train_images_per_sec_256px",
     )
 

@@ -178,14 +178,19 @@ def make_schedule_unit(cfg, d_step, g_step):
         state, d0 = barrier((state, d0))
         state, g_out = g_step(state, d0["z"])
         state = barrier(state)
-        for j in range(1, cfg.n_critic):
-            state, _ = d_step(state, imgs[j], labels[j])
-            state = barrier(state)
-        return state, {
+        # Every critic batch's d_loss rides along as a scalar (scan_steps
+        # stacks scalars per unit) so fused telemetry keeps the unfused
+        # loop's per-batch granularity — replay_units rebuilds the rows.
+        out = {
             "d_loss": d0["d_loss"],
             "g_loss": g_out["g_loss"],
             "gen_imgs": g_out["gen_imgs"],
         }
+        for j in range(1, cfg.n_critic):
+            state, dj = d_step(state, imgs[j], labels[j])
+            state = barrier(state)
+            out["_d_loss%d" % j] = dj["d_loss"]
+        return state, out
 
     return unit
 
@@ -215,10 +220,17 @@ def run_critic_family(cfg, modules, state, d_step, g_step, sample_inside_gstep: 
     sharding = auto_sharding(cfg.batch_size)
     loader = make_loader_a(cfg, sharding=sharding)
     state = replicate_for(sharding, state)
-    observer = StepObserver(cfg, supports_fused_dispatch=True)
+    k = max(1, int(getattr(cfg, "steps_per_dispatch", 1)))
+    observer = StepObserver(
+        cfg,
+        supports_fused_dispatch=True,
+        # Each fused dispatch covers k schedule units = k*(n_critic+1)
+        # optimizer steps — tell the profiler so --profile_steps traces
+        # the window it asked for.
+        dispatch_steps=k * (cfg.n_critic + 1) if k > 1 else None,
+    )
     jd = jax.jit(d_step, donate_argnums=0)
     jg = jax.jit(g_step, donate_argnums=0)
-    k = max(1, int(getattr(cfg, "steps_per_dispatch", 1)))
     scan = None
     if k > 1:
         from tpugan.train.loop import _stack_batches, scan_steps
@@ -286,17 +298,23 @@ def run_critic_family(cfg, modules, state, d_step, g_step, sample_inside_gstep: 
 
     def replay_units(epoch, first_is, out):
         """Replay the host-side work for one fused dispatch from the
-        stacked G-batch scalars (sampling uses the dispatch's LAST unit's
-        images — same documented deviation as run_training's fused path)."""
+        stacked per-batch scalars — one telemetry row per loader batch,
+        exactly like the unfused loop (sampling uses the dispatch's LAST
+        unit's images — same documented deviation as run_training's fused
+        path)."""
         nonlocal batches_done, last_gen
         observer.profile_tick(out)
         host = {n: jax.device_get(v) for n, v in out.items() if n != "gen_imgs"}
         last_gen = out["gen_imgs"]
         for j, i0 in enumerate(first_is):
-            row = {"d_loss": host["d_loss"][j], "g_loss": host["g_loss"][j]}
-            observer.observe(epoch * bpe + i0, row, dispatch=False)
+            for c in range(cfg.n_critic):
+                key = "d_loss" if c == 0 else "_d_loss%d" % c
+                row = {"d_loss": host[key][j]}
+                if c == 0:
+                    row["g_loss"] = host["g_loss"][j]
+                observer.observe(epoch * bpe + i0 + c, row, dispatch=False)
             if cfg.log_interval > 0 and i0 % cfg.log_interval == 0:
-                log_line(epoch, i0, row["d_loss"], row["g_loss"])
+                log_line(epoch, i0, host["d_loss"][j], host["g_loss"][j])
             if sample_inside_gstep:
                 if (
                     cfg.sample_interval > 0

@@ -139,7 +139,15 @@ def _residual_remat() -> bool:
     bit-exact vs the off path (tests/test_im2im_core.py)."""
     import os
 
-    return os.environ.get("TPUGAN_REMAT", "names") == "names"
+    mode = os.environ.get("TPUGAN_REMAT", "names")
+    if mode not in ("names", "off"):
+        # Silently ignoring e.g. TPUGAN_REMAT=1 (the TPUGAN_PALLAS=1
+        # spelling) would run the slower path while the user believes
+        # remat is forced on — poisoning A/B measurements.
+        raise ValueError(
+            f"TPUGAN_REMAT={mode!r}: expected 'names' (default) or 'off'"
+        )
+    return mode == "names"
 
 
 class ResidualBlockIN(nn.Module):

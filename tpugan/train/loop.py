@@ -102,7 +102,12 @@ class StepObserver:
     Profiling is call-count based (trace covers observed steps [1, 1+N)),
     so it works on resumed runs where batches_done starts high."""
 
-    def __init__(self, cfg, supports_fused_dispatch: bool = False):
+    def __init__(
+        self,
+        cfg,
+        supports_fused_dispatch: bool = False,
+        dispatch_steps: int | None = None,
+    ):
         # Recipes with bespoke epoch loops (the im2im/SR families,
         # bicyclegan's two-phase host logic) dispatch one step per device
         # call; every such loop constructs a StepObserver, so warn here
@@ -125,8 +130,10 @@ class StepObserver:
         self.profile_dir = getattr(cfg, "profile_dir", "")
         # --profile_steps counts OPTIMIZER steps; under --steps_per_dispatch
         # K each dispatch covers K of them, so trace ceil(steps/K)
-        # dispatches (profile_tick advances per dispatch).
-        k = max(1, getattr(cfg, "steps_per_dispatch", 1))
+        # dispatches (profile_tick advances per dispatch). Loops whose
+        # dispatch covers more than K optimizer steps (the critic family
+        # fuses K*(n_critic+1)) pass the true count via dispatch_steps.
+        k = dispatch_steps or max(1, getattr(cfg, "steps_per_dispatch", 1))
         steps = getattr(cfg, "profile_steps", 5)
         self.profile_dispatches = max(1, -(-steps // k))
         self._profiling = False
