@@ -55,6 +55,7 @@ def main() -> None:
 
     from tpugan.models import dcgan
     from tpugan.train.loop import scan_steps
+    from tpugan.utils.benchtime import measure_images_per_sec
 
     cfg = dcgan.Config(
         img_size=IMG, channels=1, batch_size=BATCH, synthetic_data=True
@@ -68,33 +69,20 @@ def main() -> None:
     stacked = jax.device_put(host)
     labels = jax.device_put(np.zeros((K, BATCH), np.int32))
 
-    def timed(n_dispatches):
+    def dispatch(n):
         """Run n dispatches of K steps each and HARD-sync via a scalar D2H
         fetch (the axon remote backend's block_until_ready can under-wait
         on short bursts; see BASELINE.md timing-protocol note)."""
         nonlocal state
         t0 = time.perf_counter()
-        for _ in range(n_dispatches):
+        for _ in range(n):
             state, out = steps(state, stacked, labels)
         float(out["d_loss"][-1])
         return time.perf_counter() - t0
 
-    # Warmup: compile + one timed-length burst.
-    state, out = steps(state, stacked, labels)
-    float(out["d_loss"][-1])
-
-    # Difference method over two run lengths, best of three (shared-tunnel
-    # load variance; a delta is valid only when the long run took
-    # meaningfully longer than the short one).
-    m1, m2 = 1, 4
-    candidates, fallback = [], 0.0
-    for _ in range(3):
-        t1 = timed(m1)
-        t2 = timed(m2)
-        fallback = max(fallback, m2 * K * BATCH / t2)
-        if t2 - t1 > 0.2 * t2:
-            candidates.append((m2 - m1) * K * BATCH / (t2 - t1))
-    ips = max(candidates) if candidates else fallback
+    # Shared protocol: warmup + best-of-3 difference method over two run
+    # lengths (tpugan/utils/benchtime.py).
+    ips = measure_images_per_sec(dispatch, K * BATCH, 1, 4)
     print(
         json.dumps(
             {

@@ -57,9 +57,11 @@ def main() -> None:
     a = jax.device_put(rng.integers(0, 255, (BATCH, IMG, IMG, 3), dtype=np.uint8))
     b = jax.device_put(rng.integers(0, 255, (BATCH, IMG, IMG, 3), dtype=np.uint8))
 
-    def timed(n):
-        # Difference-method timing with a hard scalar sync (see bench.py:
-        # axon's block_until_ready under-waits on short runs).
+    from tpugan.utils.benchtime import measure_images_per_sec
+
+    def dispatch(n):
+        # Hard scalar sync per burst (axon's block_until_ready under-waits
+        # on short runs — BASELINE.md timing note).
         nonlocal state
         t0 = time.perf_counter()
         for _ in range(n):
@@ -67,16 +69,13 @@ def main() -> None:
         float(out["d_loss"])
         return time.perf_counter() - t0
 
-    for _ in range(WARMUP):
+    for _ in range(WARMUP - 1):
         state, out = step(state, a, b)
     float(out["d_loss"])
-    n1, n2 = max(STEPS // 4, 1), STEPS
-    t1 = timed(n1)
-    t2 = timed(n2)
-    if t2 - t1 > 0.2 * t2:
-        ips = (n2 - n1) * BATCH / (t2 - t1)
-    else:  # load transition between runs — use the conservative direct rate
-        ips = n2 * BATCH / t2
+    # Shared protocol (tpugan/utils/benchtime.py): one more warmup burst +
+    # best-of-3 difference method — previously a single pair; aligned with
+    # bench.py 2026-08-17.
+    ips = measure_images_per_sec(dispatch, BATCH, max(STEPS // 4, 1), STEPS)
     print(
         json.dumps(
             {

@@ -20,9 +20,9 @@ One JSON line per run, same schema as bench.py. The MLP configs are
 sub-millisecond steps, so they use the fused K-step dispatch
 (train/loop.py:scan_steps) exactly like bench.py; the SR configs are
 dispatch-bound-free and run one step per dispatch like bench_cyclegan.
-Timing is the shared protocol: warmup excluded, difference method over two
-run lengths with a hard scalar sync (axon's block_until_ready under-waits
-on short bursts — BASELINE.md timing note).
+Timing is the shared protocol (tpugan/utils/benchtime.py): warmup
+excluded, best-of-3 difference method over two run lengths with a hard
+scalar sync.
 
 torch-CPU anchors: scripts/baseline_torch_zoo.py (same configs, same
 schedules, measured on this host — the reference publishes no numbers).
@@ -41,6 +41,8 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)
 import jax
 import numpy as np
 
+from tpugan.utils.benchtime import measure_images_per_sec
+
 # Measured by scripts/baseline_torch_zoo.py on this host (PyTorch CPU,
 # reference semantics; see BASELINE.md "Measured anchors").
 TORCH_CPU_ANCHOR_IPS = {
@@ -54,19 +56,6 @@ TORCH_CPU_ANCHOR_IPS = {
 def _sync(out, key):
     v = out[key]
     float(v[-1] if getattr(v, "ndim", 0) else v)
-
-
-def _measure(dispatch, images_per_dispatch, n1, n2):
-    """Warmup + best-of-3 difference-method images/sec."""
-    dispatch(1, sync=True)  # compile + first burst
-    candidates, fallback = [], 0.0
-    for _ in range(3):
-        t1 = dispatch(n1, sync=True)
-        t2 = dispatch(n2, sync=True)
-        fallback = max(fallback, n2 * images_per_dispatch / t2)
-        if t2 - t1 > 0.2 * t2:
-            candidates.append((n2 - n1) * images_per_dispatch / (t2 - t1))
-    return max(candidates) if candidates else fallback
 
 
 def bench_gan() -> tuple[float, str]:
@@ -87,16 +76,15 @@ def bench_gan() -> tuple[float, str]:
     )
     labels = jax.device_put(np.zeros((K, B), np.int32))
 
-    def dispatch(n, sync):
+    def dispatch(n):
         nonlocal state
         t0 = time.perf_counter()
         for _ in range(n):
             state, out = steps(state, imgs, labels)
-        if sync:
-            _sync(out, "d_loss")
+        _sync(out, "d_loss")
         return time.perf_counter() - t0
 
-    return _measure(dispatch, K * B, 1, 4), "gan_train_images_per_sec_28px"
+    return measure_images_per_sec(dispatch, K * B, 1, 4), "gan_train_images_per_sec_28px"
 
 
 def bench_wgan_gp() -> tuple[float, str]:
@@ -124,19 +112,18 @@ def bench_wgan_gp() -> tuple[float, str]:
     )
     labels = jax.device_put(np.zeros((K, nc, B), np.int32))
 
-    def dispatch(n, sync):
+    def dispatch(n):
         nonlocal state
         t0 = time.perf_counter()
         for _ in range(n):
             state, out = steps(state, imgs, labels)
-        if sync:
-            _sync(out, "d_loss")
+        _sync(out, "d_loss")
         return time.perf_counter() - t0
 
     # images/sec counts every critic batch (the reference consumes one
     # loader batch per critic step).
     return (
-        _measure(dispatch, K * nc * B, 1, 4),
+        measure_images_per_sec(dispatch, K * nc * B, 1, 4),
         "wgan_gp_train_images_per_sec_28px",
     )
 
@@ -157,18 +144,17 @@ def _bench_sr(model: str, n_steps: int) -> tuple[float, str]:
         rng.integers(0, 255, (B, HR, HR, 3), dtype=np.uint8)
     )
 
-    def dispatch(n, sync):
+    def dispatch(n):
         nonlocal state
         t0 = time.perf_counter()
         for _ in range(n):
             state, out = step(state, hr_u8)
-        if sync:
-            _sync(out, "d_loss")
+        _sync(out, "d_loss")
         return time.perf_counter() - t0
 
     n1 = max(n_steps // 4, 1)
     return (
-        _measure(dispatch, B, n1, n_steps),
+        measure_images_per_sec(dispatch, B, n1, n_steps),
         f"{model}_train_images_per_sec_256px",
     )
 
