@@ -27,7 +27,10 @@ machine):
     python scripts/fid_headtohead.py --score         # JSON verdict line
 
 ``--model gan`` switches to the template-A MLP config (gan/gan.py:38-81
-architectures, same loop semantics; ~4 min of torch CPU).
+architectures, same loop semantics; ~4 min of torch CPU). ``--model
+lsgan`` runs the lsgan.py:45-99 variant (no leading G BatchNorm,
+logit-head D, MSE loss — the other half of BASELINE.json's
+"DCGAN + LSGAN ... FID within 5%" row).
 
 Artifacts land in --out_dir (default /tmp/fid_h2h):
 <model>_<side>_samples.npy, float32 NHWC in [-1, 1].
@@ -50,7 +53,8 @@ BATCH, LATENT, STEPS, N_EVAL = 64, 100, 640, 1024
 
 def _tag(seed):
     return "" if seed == 0 else f"_s{seed}"
-IMG_BY_MODEL = {"dcgan": 32, "gan": 28}  # dcgan.py:27 / gan.py:27 defaults
+# dcgan.py:27 / gan.py:27 / lsgan.py:27 img_size defaults
+IMG_BY_MODEL = {"dcgan": 32, "gan": 28, "lsgan": 32}
 
 
 def _img(model):
@@ -116,16 +120,20 @@ def train_torch(model: str, out_dir: str, seed: int = 0) -> None:
 
     torch.manual_seed(seed)
     IMG = _img(model)
+    lsgan = model == "lsgan"
 
     # Reference dcgan.py:45-99 architectures at img_size=32 (init_size 8,
-    # D downsample 32/2^4 = 2).
+    # D downsample 32/2^4 = 2). lsgan.py:45-99 is the same template with
+    # two deltas: G's conv stack has NO leading BatchNorm2d(128), and D's
+    # head is a bare Linear (no Sigmoid — MSE on logits).
     class G(nn.Module):
         def __init__(self):
             super().__init__()
             self.init_size = IMG // 4
             self.l1 = nn.Sequential(nn.Linear(LATENT, 128 * self.init_size**2))
+            head = [] if lsgan else [nn.BatchNorm2d(128)]
             self.conv_blocks = nn.Sequential(
-                nn.BatchNorm2d(128),
+                *head,
                 nn.Upsample(scale_factor=2),
                 nn.Conv2d(128, 128, 3, stride=1, padding=1),
                 nn.BatchNorm2d(128, 0.8),
@@ -161,7 +169,10 @@ def train_torch(model: str, out_dir: str, seed: int = 0) -> None:
                 *block(64, 128),
             )
             ds = IMG // 2**4
-            self.adv_layer = nn.Sequential(nn.Linear(128 * ds**2, 1), nn.Sigmoid())
+            head = [nn.Linear(128 * ds**2, 1)]
+            if not lsgan:
+                head.append(nn.Sigmoid())
+            self.adv_layer = nn.Sequential(*head)
 
         def forward(self, img):
             out = self.model(img).view(img.shape[0], -1)
@@ -181,7 +192,8 @@ def train_torch(model: str, out_dir: str, seed: int = 0) -> None:
         g, d = G(), D()
         g.apply(weights_init_normal)  # dcgan.py:108-109; gan.py has no init
         d.apply(weights_init_normal)
-    adversarial_loss = nn.BCELoss()
+    # lsgan.py:103: "Minimizes MSE instead of BCE"; same 1/0 targets.
+    adversarial_loss = nn.MSELoss() if lsgan else nn.BCELoss()
     opt_g = torch.optim.Adam(g.parameters(), lr=2e-4, betas=(0.5, 0.999))
     opt_d = torch.optim.Adam(d.parameters(), lr=2e-4, betas=(0.5, 0.999))
 
@@ -343,8 +355,15 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=0,
                     help="training-side seed (reals stay seed 1)")
     ap.add_argument("--cpu", action="store_true",
-                    help="run the tpugan side on CPU (numerics-identical fp32)")
+                    help="run the tpugan/score phases on CPU "
+                         "(numerics-identical fp32)")
     args = ap.parse_args()
+    if args.cpu:
+        # Must land before any backend init; the sitecustomize pins
+        # JAX_PLATFORMS=axon so plain env vars don't reach the backend.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if args.train_torch:
         train_torch(args.model, args.out_dir, seed=args.seed)
     if args.train_tpugan:
