@@ -129,3 +129,63 @@ def test_in_act_dispatcher_xla_path_matches_module_composition():
     y = instance_norm_xla(x)
     want = jnp.where(y >= 0, y, 0.2 * y)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_tiled_forward_and_grad_parity():
+    """HW-tiled two-pass IN+act == the XLA reference, forward and gradient,
+    for all three slopes (interpret mode, 4 HW tiles)."""
+    from tpugan.ops.pallas_kernels import instance_norm_act_tiled
+
+    x = _x(h=16, w=16, c=128, seed=7)
+    for slope in (1.0, 0.0, 0.2):
+        def ref(z):
+            y = instance_norm_xla(z)
+            return jnp.sum(jnp.cos(jnp.where(y >= 0, y, slope * y)))
+
+        def tiled(z):
+            return jnp.sum(
+                jnp.cos(instance_norm_act_tiled(z, 64, 1e-5, slope, True))
+            )
+
+        np.testing.assert_allclose(float(tiled(x)), float(ref(x)), rtol=1e-5)
+        ga = jax.grad(tiled)(x)
+        gb = jax.grad(ref)(x)
+        np.testing.assert_allclose(
+            np.asarray(ga), np.asarray(gb), atol=1e-4, rtol=1e-4,
+            err_msg=f"slope {slope}",
+        )
+
+
+def test_tiled_single_tile_degenerates_to_whole_map():
+    """tile == HW (one grid step) must also be correct — exercises the
+    j == 0 init branch alone."""
+    from tpugan.ops.pallas_kernels import instance_norm_act_tiled
+
+    x = _x(h=8, w=8, c=128, seed=8)
+    got = instance_norm_act_tiled(x, 64, 1e-5, 0.2, True)
+    y = instance_norm_xla(x)
+    want = jnp.where(y >= 0, y, 0.2 * y)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_tiled_tile_picker():
+    """tiled_tile_for: only over-envelope fp32 lane-aligned maps tile, the
+    tile divides HW, and its buffer fits the per-tile target."""
+    from tpugan.ops.pallas_kernels import (
+        _TILE_TARGET,
+        _tile_hw,
+        tiled_tile_for,
+    )
+
+    # Under the one-pass envelope -> no tiling (one-pass path owns it).
+    assert tiled_tile_for(jnp.zeros((1, 64, 64, 128))) is None
+    # Ineligible dtype / channel count.
+    assert tiled_tile_for(jnp.zeros((1, 64, 64, 256), jnp.bfloat16)) is None
+    assert tiled_tile_for(jnp.zeros((1, 64, 64, 192))) is None
+    # The CycleGAN 256px trunk shape tiles cleanly (backend-gated on CPU,
+    # so probe the divisor search directly).
+    t = _tile_hw(64 * 64, 256)
+    assert t is not None and (64 * 64) % t == 0
+    assert t * 256 * 4 <= _TILE_TARGET
+    # Near-prime HW has no usable divisor.
+    assert _tile_hw(4093, 256) in (None,)  # 4093 is prime

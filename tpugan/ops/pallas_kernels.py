@@ -169,19 +169,26 @@ def instance_norm(x, eps: float = 1e-5):
 
     Default OFF (``TPUGAN_PALLAS=1`` enables). Status 2026-08-18: the axon
     tunnel now compiles Mosaic kernels (round-1's blanket HTTP 500 is
-    gone), and all three kernels were validated fwd+bwd on a real v5e chip
-    at eligible shapes (<2e-5 vs the XLA reference — BASELINE.md "Pallas
-    on-chip validation"). Blocks above the measured 2 MiB per-buffer
-    envelope still fail the compiler's scoped-vmem stack limit, which is
-    exactly what :func:`pallas_eligible` now guards; the flagship CycleGAN
-    256px trunk (64x64x256 = 4 MiB blocks) sits above it, so the kernels
-    stay opt-in until an HW-tiled two-pass variant lands. Parity is
-    covered by tests/test_pallas_kernels.py either way.
+    gone), and every kernel here was validated fwd+bwd on a real v5e chip
+    (<2e-5 vs the XLA reference — BASELINE.md "Pallas on-chip
+    validation"). One-pass blocks above the measured 2 MiB per-buffer
+    envelope fail the compiler's scoped-vmem stack limit
+    (:func:`pallas_eligible` guards it); larger maps — the CycleGAN 256px
+    trunk included — route to the HW-tiled two-pass kernel
+    (:func:`instance_norm_act_tiled`). The path stays OPT-IN on measured
+    evidence: the 256px CycleGAN A/B ran 11.2 vs 15.2 img/s — each
+    pallas_call is an opaque custom-call boundary that stops XLA fusing
+    the IN chains into the conv schedule, which costs more than the fused
+    VMEM pass saves on this workload (BASELINE.md result-of-record).
     """
     import os
 
-    if os.environ.get("TPUGAN_PALLAS", "0") == "1" and pallas_eligible(x):
-        return instance_norm_pallas(x, eps)
+    if os.environ.get("TPUGAN_PALLAS", "0") == "1":
+        if pallas_eligible(x):
+            return instance_norm_pallas(x, eps)
+        tile = tiled_tile_for(x)
+        if tile is not None:
+            return instance_norm_act_tiled(x, tile, eps, 1.0)
     return instance_norm_xla(x, eps)
 
 
@@ -298,8 +305,12 @@ def instance_norm_act(x, slope: float, eps: float = 1e-5):
     round-trips at 256px feature-map sizes)."""
     import os
 
-    if os.environ.get("TPUGAN_PALLAS", "0") == "1" and pallas_eligible(x):
-        return instance_norm_act_pallas(x, eps, slope)
+    if os.environ.get("TPUGAN_PALLAS", "0") == "1":
+        if pallas_eligible(x):
+            return instance_norm_act_pallas(x, eps, slope)
+        tile = tiled_tile_for(x)
+        if tile is not None:
+            return instance_norm_act_tiled(x, tile, eps, slope)
     y = instance_norm_xla(x, eps)
     return jnp.where(y >= 0, y, slope * y)
 
@@ -407,3 +418,187 @@ def _adain_bwd(eps, interpret, res, g):
 
 
 adain_pallas.defvjp(_adain_fwd, _adain_bwd)
+
+
+# ---------------------------------------------------------------------------
+# HW-tiled two-pass instance norm (+ activation).
+#
+# Feature maps above the single-pass envelope (_VMEM_BLOCK_LIMIT — notably
+# the CycleGAN 256px residual trunk at 64x64x256 = 4 MiB/sample,
+# cyclegan/models.py ResidualBlock) cannot hold a whole sample in VMEM, so
+# statistics and normalization are split into two grid passes over HW
+# tiles: pass 1 accumulates per-channel sum / sum-of-squares across tiles
+# (grid revisiting: the (1,1,C) accumulator block stays resident across
+# the inner grid axis), a cheap XLA epilogue turns them into mean/rstd,
+# and pass 2 normalizes (+ activation) tile by tile. The backward uses the
+# same structure for the two instance-norm VJP reductions. Variance comes
+# from E[x^2] - mean^2 in fp32 — for post-conv activations (O(1-10)
+# values, HW <= a few thousand) this matches the centered XLA reference to
+# float rounding (pinned in tests/test_pallas_kernels.py).
+# ---------------------------------------------------------------------------
+
+_TILE_TARGET = 1024 * 1024  # bytes per (1, T, C) tile buffer
+
+
+def _tile_hw(hw: int, c: int):
+    """Largest divisor T of hw whose (T, C) fp32 tile fits _TILE_TARGET;
+    None when no useful tiling exists (tiny budget or near-prime hw)."""
+    max_t = _TILE_TARGET // (c * 4)
+    if max_t < 8:
+        return None
+    for t in range(min(hw, max_t), 7, -1):
+        if hw % t == 0:
+            return t
+    return None
+
+
+def _tiled_specs(t, c, interpret):
+    space = pl.ANY if interpret else pltpu.VMEM
+    tile = lambda: pl.BlockSpec((1, t, c), lambda i, j: (i, j, 0),
+                                memory_space=space)
+    small = lambda: pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0),
+                                 memory_space=space)
+    return tile, small
+
+
+def _tiled_stats_kernel(x_ref, s_ref, q_ref):
+    j = pl.program_id(1)
+    x = x_ref[0]  # (T, C)
+    s = jnp.sum(x, axis=0, keepdims=True)
+    q = jnp.sum(x * x, axis=0, keepdims=True)
+
+    @pl.when(j == 0)
+    def _init():
+        s_ref[0] = s
+        q_ref[0] = q
+
+    @pl.when(j > 0)
+    def _accumulate():
+        s_ref[0] += s
+        q_ref[0] += q
+
+
+def _tiled_norm_act_kernel(x_ref, mean_ref, rstd_ref, o_ref, *, slope):
+    xhat = (x_ref[0] - mean_ref[0]) * rstd_ref[0]
+    o_ref[0] = jnp.where(xhat >= 0, xhat, slope * xhat)
+
+
+def _tiled_bwd_stats_kernel(g_ref, x_ref, mean_ref, rstd_ref,
+                            hs_ref, hx_ref, *, slope):
+    j = pl.program_id(1)
+    xhat = (x_ref[0] - mean_ref[0]) * rstd_ref[0]
+    gh = g_ref[0] * jnp.where(xhat >= 0, 1.0, slope)
+    s = jnp.sum(gh, axis=0, keepdims=True)
+    t = jnp.sum(gh * xhat, axis=0, keepdims=True)
+
+    @pl.when(j == 0)
+    def _init():
+        hs_ref[0] = s
+        hx_ref[0] = t
+
+    @pl.when(j > 0)
+    def _accumulate():
+        hs_ref[0] += s
+        hx_ref[0] += t
+
+
+def _tiled_bwd_kernel(g_ref, x_ref, mean_ref, rstd_ref, ghm_ref, ghxm_ref,
+                      dx_ref, *, slope):
+    rstd = rstd_ref[0]
+    xhat = (x_ref[0] - mean_ref[0]) * rstd
+    gh = g_ref[0] * jnp.where(xhat >= 0, 1.0, slope)
+    dx_ref[0] = (gh - ghm_ref[0] - xhat * ghxm_ref[0]) * rstd
+
+
+def _tiled_fwd_call(x3, t, eps, slope, interpret):
+    b, hw, c = x3.shape
+    n = hw // t
+    tile, small = _tiled_specs(t, c, interpret)
+    s, q = pl.pallas_call(
+        _tiled_stats_kernel,
+        grid=(b, n),
+        in_specs=[tile()],
+        out_specs=[small(), small()],
+        out_shape=[jax.ShapeDtypeStruct((b, 1, c), x3.dtype)] * 2,
+        interpret=interpret,
+    )(x3)
+    mean = s / hw
+    var = jnp.maximum(q / hw - mean * mean, 0.0)  # guard fp cancellation
+    rstd = jax.lax.rsqrt(var + eps)
+    y = pl.pallas_call(
+        functools.partial(_tiled_norm_act_kernel, slope=slope),
+        grid=(b, n),
+        in_specs=[tile(), small(), small()],
+        out_specs=tile(),
+        out_shape=jax.ShapeDtypeStruct((b, hw, c), x3.dtype),
+        interpret=interpret,
+    )(x3, mean, rstd)
+    return y, mean, rstd
+
+
+def _tiled_bwd_call(g3, x3, mean, rstd, t, slope, interpret):
+    b, hw, c = x3.shape
+    n = hw // t
+    tile, small = _tiled_specs(t, c, interpret)
+    hs, hx = pl.pallas_call(
+        functools.partial(_tiled_bwd_stats_kernel, slope=slope),
+        grid=(b, n),
+        in_specs=[tile(), tile(), small(), small()],
+        out_specs=[small(), small()],
+        out_shape=[jax.ShapeDtypeStruct((b, 1, c), x3.dtype)] * 2,
+        interpret=interpret,
+    )(g3, x3, mean, rstd)
+    return pl.pallas_call(
+        functools.partial(_tiled_bwd_kernel, slope=slope),
+        grid=(b, n),
+        in_specs=[tile(), tile(), small(), small(), small(), small()],
+        out_specs=tile(),
+        out_shape=jax.ShapeDtypeStruct((b, hw, c), x3.dtype),
+        interpret=interpret,
+    )(g3, x3, mean, rstd, hs / hw, hx / hw)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def instance_norm_act_tiled(x, tile: int, eps: float = 1e-5,
+                            slope: float = 1.0, interpret: bool = False):
+    """Two-pass tiled IN + leaky-relu(slope) for over-envelope maps."""
+    b, h, w, c = x.shape
+    y, _, _ = _tiled_fwd_call(x.reshape(b, h * w, c), tile, eps, slope,
+                              interpret)
+    return y.reshape(b, h, w, c)
+
+
+def _in_tiled_fwd(x, tile, eps, slope, interpret):
+    b, h, w, c = x.shape
+    x3 = x.reshape(b, h * w, c)
+    y, mean, rstd = _tiled_fwd_call(x3, tile, eps, slope, interpret)
+    return y.reshape(b, h, w, c), (x3, mean, rstd)
+
+
+def _in_tiled_bwd(tile, eps, slope, interpret, res, g):
+    x3, mean, rstd = res
+    b, hw, c = x3.shape
+    dx = _tiled_bwd_call(g.reshape(b, hw, c), x3, mean, rstd, tile, slope,
+                         interpret)
+    return (dx.reshape(g.shape),)
+
+
+instance_norm_act_tiled.defvjp(_in_tiled_fwd, _in_tiled_bwd)
+
+
+def tiled_tile_for(x):
+    """HW tile for the two-pass path, or None when the one-pass kernel
+    already fits / the shape or backend is ineligible."""
+    if x.ndim != 4 or x.dtype != jnp.float32:
+        return None
+    b, h, w, c = x.shape
+    if c % 128 != 0:
+        return None
+    if h * w * c * 4 <= _VMEM_BLOCK_LIMIT:
+        return None  # the single-pass kernel handles it
+    try:
+        if jax.default_backend() != "tpu":
+            return None
+    except Exception:  # pragma: no cover
+        return None
+    return _tile_hw(h * w, c)
