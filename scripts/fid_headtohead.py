@@ -30,7 +30,21 @@ machine):
 architectures, same loop semantics; ~4 min of torch CPU). ``--model
 lsgan`` runs the lsgan.py:45-99 variant (no leading G BatchNorm,
 logit-head D, MSE loss — the other half of BASELINE.json's
-"DCGAN + LSGAN ... FID within 5%" row).
+"DCGAN + LSGAN ... FID within 5%" row). ``--model dcgan_cifar`` is the
+CIFAR-class leg: the same dcgan.py semantics at the CIFAR shape
+(3 channels x 32px, dcgan.py:27,32 with --channels 3) on a 3-channel
+synthetic set — covers the "CIFAR" word in BASELINE.json's
+"FID within 5% on MNIST/CIFAR/facades". ``--model cyclegan64`` is the
+im2im (facades-config) leg: full CycleGAN reference semantics
+(cyclegan/cyclegan.py:160-239 — joint G update with identity+adv+cycle,
+per-domain replay-buffer D updates, Adam(2e-4, 0.5, 0.999),
+weights_init_normal with zeroed conv bias) at a torch-CPU-feasible scale
+(64px, 3 residual blocks, batch 4 — cyclegan.py:33-39 defaults scaled
+down), trained unpaired on byte-identical synthetic scene domains
+(data/im2im.py:synthetic_scene_pairs) and scored by FID of G_AB(A_test)
+vs held-out B reals PLUS paired L1 to the structurally-corresponding
+B target (the synthetic domains are aligned even though training is
+unpaired).
 
 Artifacts land in --out_dir (default /tmp/fid_h2h):
 <model>_<side>_samples.npy, float32 NHWC in [-1, 1].
@@ -53,8 +67,15 @@ BATCH, LATENT, STEPS, N_EVAL = 64, 100, 640, 1024
 
 def _tag(seed):
     return "" if seed == 0 else f"_s{seed}"
-# dcgan.py:27 / gan.py:27 / lsgan.py:27 img_size defaults
-IMG_BY_MODEL = {"dcgan": 32, "gan": 28, "lsgan": 32}
+# dcgan.py:27 / gan.py:27 / lsgan.py:27 img_size defaults; dcgan_cifar is
+# dcgan.py at the CIFAR shape (32px, --channels 3); cyclegan64 is the
+# reduced im2im config (see module docstring).
+IMG_BY_MODEL = {"dcgan": 32, "gan": 28, "lsgan": 32, "dcgan_cifar": 32,
+                "cyclegan64": 64}
+CH_BY_MODEL = {"dcgan": 1, "gan": 1, "lsgan": 1, "dcgan_cifar": 3,
+               "cyclegan64": 3}
+# cyclegan64 protocol constants (reduced template-C scale).
+CYC_STEPS, CYC_BATCH, CYC_RES, CYC_N_TRAIN = 400, 4, 3, 1024
 
 
 def _img(model):
@@ -64,7 +85,14 @@ def _img(model):
 def _dataset(model):
     from tpugan.data.sources import synthetic_image_dataset
 
-    return synthetic_image_dataset(4096, _img(model), 1, seed=0)
+    return synthetic_image_dataset(4096, _img(model), CH_BY_MODEL[model], seed=0)
+
+
+def _scene_domains(model, seed, n):
+    """Byte-identical unpaired-training / paired-eval domains (cyclegan64)."""
+    from tpugan.data.im2im import synthetic_scene_pairs
+
+    return synthetic_scene_pairs(n, _img(model), _img(model), seed=seed)
 
 
 def _build_torch_gan(img):
@@ -120,6 +148,7 @@ def train_torch(model: str, out_dir: str, seed: int = 0) -> None:
 
     torch.manual_seed(seed)
     IMG = _img(model)
+    CH = CH_BY_MODEL[model]
     lsgan = model == "lsgan"
 
     # Reference dcgan.py:45-99 architectures at img_size=32 (init_size 8,
@@ -142,7 +171,7 @@ def train_torch(model: str, out_dir: str, seed: int = 0) -> None:
                 nn.Conv2d(128, 64, 3, stride=1, padding=1),
                 nn.BatchNorm2d(64, 0.8),
                 nn.LeakyReLU(0.2, inplace=True),
-                nn.Conv2d(64, 1, 3, stride=1, padding=1),
+                nn.Conv2d(64, CH, 3, stride=1, padding=1),
                 nn.Tanh(),
             )
 
@@ -165,7 +194,7 @@ def train_torch(model: str, out_dir: str, seed: int = 0) -> None:
                 return layers
 
             self.model = nn.Sequential(
-                *block(1, 16, bn=False), *block(16, 32), *block(32, 64),
+                *block(CH, 16, bn=False), *block(16, 32), *block(32, 64),
                 *block(64, 128),
             )
             ds = IMG // 2**4
@@ -260,8 +289,10 @@ def train_tpugan(model: str, out_dir: str, seed: int = 0, cpu: bool = False) -> 
     if cpu:
         jax.config.update("jax_platforms", "cpu")
     IMG = _img(model)
-    recipe = importlib.import_module(f"tpugan.models.{model}")
-    cfg = recipe.Config(img_size=IMG, batch_size=BATCH, seed=seed, synthetic_data=True)
+    recipe_name = "dcgan" if model == "dcgan_cifar" else model
+    recipe = importlib.import_module(f"tpugan.models.{recipe_name}")
+    cfg = recipe.Config(img_size=IMG, channels=CH_BY_MODEL[model],
+                        batch_size=BATCH, seed=seed, synthetic_data=True)
     modules = recipe.build(cfg)
     state = recipe.create_state(cfg, modules)
     step_fn = jax.jit(recipe.make_step(cfg, modules), donate_argnums=0)
@@ -320,7 +351,7 @@ def score(model: str, out_dir: str, seed: int = 0) -> None:
     from tpugan.metrics.fid import VGGFeatureModel, fid_from_features
 
     IMG = _img(model)
-    reals = synthetic_image_dataset(N_EVAL, IMG, 1, seed=1)
+    reals = synthetic_image_dataset(N_EVAL, IMG, CH_BY_MODEL[model], seed=1)
     real_x = (reals.images.astype(np.float32) / 255.0) * 2.0 - 1.0
 
     fm = VGGFeatureModel()
@@ -338,6 +369,314 @@ def score(model: str, out_dir: str, seed: int = 0) -> None:
         s = np.load(path)
         f = fm([jnp.asarray(s[i : i + 256]) for i in range(0, N_EVAL, 256)])
         result[side] = round(fid_from_features(real_f, f), 3)
+    if result.get("torch") and result.get("tpugan"):
+        result["tpugan_vs_torch_pct"] = round(
+            100.0 * (result["tpugan"] - result["torch"]) / result["torch"], 2
+        )
+    print(json.dumps(result))
+
+
+# ---------------------------------------------------------------------------
+# cyclegan64 — the im2im (facades-config) leg of the acceptance table.
+# ---------------------------------------------------------------------------
+
+
+def _build_torch_cyclegan(img: int, channels: int, n_res: int):
+    """Reference CycleGAN module classes (cyclegan/models.py:22-122) rebuilt
+    in torch: ResNet G (ReflectionPad c7s1-64, 2x stride-2 down, n_res
+    residual blocks with ReflectionPad+InstanceNorm, 2x Upsample+conv up,
+    ReflectionPad c7s1-C Tanh — note models.py:49 pads by `channels`) and
+    the 4-down InstanceNorm PatchGAN with the asymmetric
+    ZeroPad2d((1,0,1,0)) head (models.py:95-122)."""
+    import torch.nn as nn
+
+    class Residual(nn.Module):
+        def __init__(self, ch):
+            super().__init__()
+            self.body = nn.Sequential(
+                nn.ReflectionPad2d(1), nn.Conv2d(ch, ch, 3),
+                nn.InstanceNorm2d(ch), nn.ReLU(inplace=True),
+                nn.ReflectionPad2d(1), nn.Conv2d(ch, ch, 3),
+                nn.InstanceNorm2d(ch),
+            )
+
+        def forward(self, x):
+            return x + self.body(x)
+
+    class G(nn.Module):
+        def __init__(self):
+            super().__init__()
+            layers = [
+                nn.ReflectionPad2d(channels), nn.Conv2d(channels, 64, 7),
+                nn.InstanceNorm2d(64), nn.ReLU(inplace=True),
+            ]
+            ch = 64
+            for _ in range(2):
+                layers += [
+                    nn.Conv2d(ch, ch * 2, 3, stride=2, padding=1),
+                    nn.InstanceNorm2d(ch * 2), nn.ReLU(inplace=True),
+                ]
+                ch *= 2
+            layers += [Residual(ch) for _ in range(n_res)]
+            for _ in range(2):
+                layers += [
+                    nn.Upsample(scale_factor=2),
+                    nn.Conv2d(ch, ch // 2, 3, stride=1, padding=1),
+                    nn.InstanceNorm2d(ch // 2), nn.ReLU(inplace=True),
+                ]
+                ch //= 2
+            layers += [
+                nn.ReflectionPad2d(channels), nn.Conv2d(ch, channels, 7),
+                nn.Tanh(),
+            ]
+            self.net = nn.Sequential(*layers)
+
+        def forward(self, x):
+            return self.net(x)
+
+    class D(nn.Module):
+        def __init__(self):
+            super().__init__()
+
+            def blk(i, o, norm=True):
+                out = [nn.Conv2d(i, o, 4, stride=2, padding=1)]
+                if norm:
+                    out.append(nn.InstanceNorm2d(o))
+                out.append(nn.LeakyReLU(0.2, inplace=True))
+                return out
+
+            self.net = nn.Sequential(
+                *blk(channels, 64, norm=False), *blk(64, 128),
+                *blk(128, 256), *blk(256, 512),
+                nn.ZeroPad2d((1, 0, 1, 0)), nn.Conv2d(512, 1, 4, padding=1),
+            )
+
+        def forward(self, x):
+            return self.net(x)
+
+    return G, D
+
+
+def _norm_nchw(u8):
+    x = (u8.astype(np.float32) / 255.0 - 0.5) / 0.5
+    return np.transpose(x, (0, 3, 1, 2))
+
+
+def train_torch_cyclegan(out_dir: str, seed: int = 0) -> None:
+    """Reference loop semantics (cyclegan/cyclegan.py:160-239): joint G
+    update (identity + adv + cycle, lambda_cyc=10, lambda_id=5), then per-
+    domain D updates on real + 50-slot replay-buffer fakes (utils.py:13-33,
+    python `random` module), Adam(2e-4, 0.5, 0.999), weights_init_normal
+    with zeroed conv bias (models.py:6-14). No LR decay inside this short
+    run (decay_epoch=100 never reached — cyclegan.py:93-102)."""
+    import itertools
+    import random
+
+    import torch
+    import torch.nn as nn
+
+    torch.manual_seed(seed)
+    random.seed(seed)  # pins the ReplayBuffer swap stream (utils.py:27-29)
+    IMG, CH = _img("cyclegan64"), CH_BY_MODEL["cyclegan64"]
+    Gc, Dc = _build_torch_cyclegan(IMG, CH, CYC_RES)
+    g_ab, g_ba, d_a, d_b = Gc(), Gc(), Dc(), Dc()
+
+    def init_normal(m):  # cyclegan/models.py:6-14
+        if m.__class__.__name__.find("Conv") != -1:
+            nn.init.normal_(m.weight.data, 0.0, 0.02)
+            if getattr(m, "bias", None) is not None:
+                nn.init.constant_(m.bias.data, 0.0)
+
+    for m in (g_ab, g_ba, d_a, d_b):
+        m.apply(init_normal)
+
+    crit_gan, crit_l1 = nn.MSELoss(), nn.L1Loss()
+    opt_g = torch.optim.Adam(
+        itertools.chain(g_ab.parameters(), g_ba.parameters()),
+        lr=2e-4, betas=(0.5, 0.999),
+    )
+    opt_da = torch.optim.Adam(d_a.parameters(), lr=2e-4, betas=(0.5, 0.999))
+    opt_db = torch.optim.Adam(d_b.parameters(), lr=2e-4, betas=(0.5, 0.999))
+
+    class Buffer:  # utils.py:13-33 semantics
+        def __init__(self):
+            self.items = []
+
+        def push_and_pop(self, batch):
+            out = []
+            for el in batch.detach():
+                el = el.unsqueeze(0)
+                if len(self.items) < 50:
+                    self.items.append(el)
+                    out.append(el)
+                elif random.uniform(0, 1) > 0.5:
+                    j = random.randint(0, 49)
+                    out.append(self.items[j].clone())
+                    self.items[j] = el
+                else:
+                    out.append(el)
+            return torch.cat(out)
+
+    buf_a, buf_b = Buffer(), Buffer()
+
+    a_u8, b_u8 = _scene_domains("cyclegan64", 0, CYC_N_TRAIN)
+    a, b = _norm_nchw(a_u8), _norm_nchw(b_u8)
+    order_rng = np.random.default_rng(seed)
+
+    patch = (1, IMG // 2 ** 4, IMG // 2 ** 4)  # models.py:103
+    valid = torch.ones(CYC_BATCH, *patch)
+    fake = torch.zeros(CYC_BATCH, *patch)
+    step, t0 = 0, time.time()
+    while step < CYC_STEPS:
+        order = order_rng.permutation(len(a))
+        for i in range(0, len(a) - CYC_BATCH + 1, CYC_BATCH):
+            real_a = torch.from_numpy(a[order[i : i + CYC_BATCH]])
+            # unpaired: B drawn uniformly at random (cyclegan/datasets.py:31)
+            real_b = torch.from_numpy(
+                b[order_rng.integers(0, len(b), CYC_BATCH)]
+            )
+            opt_g.zero_grad()  # cyclegan.py:174-205
+            loss_id = (
+                crit_l1(g_ba(real_a), real_a) + crit_l1(g_ab(real_b), real_b)
+            ) / 2
+            fake_b, fake_a = g_ab(real_a), g_ba(real_b)
+            loss_gan = (
+                crit_gan(d_b(fake_b), valid) + crit_gan(d_a(fake_a), valid)
+            ) / 2
+            loss_cyc = (
+                crit_l1(g_ba(fake_b), real_a) + crit_l1(g_ab(fake_a), real_b)
+            ) / 2
+            (loss_gan + 10.0 * loss_cyc + 5.0 * loss_id).backward()
+            opt_g.step()
+            opt_da.zero_grad()  # cyclegan.py:211-222
+            lda = (
+                crit_gan(d_a(real_a), valid)
+                + crit_gan(d_a(buf_a.push_and_pop(fake_a)), fake)
+            ) / 2
+            lda.backward()
+            opt_da.step()
+            opt_db.zero_grad()  # cyclegan.py:228-239
+            ldb = (
+                crit_gan(d_b(real_b), valid)
+                + crit_gan(d_b(buf_b.push_and_pop(fake_b)), fake)
+            ) / 2
+            ldb.backward()
+            opt_db.step()
+            step += 1
+            if step % 20 == 0:
+                print(
+                    f"[torch] step {step}/{CYC_STEPS} "
+                    f"d={(lda.item() + ldb.item()) / 2:.4f} "
+                    f"adv={loss_gan.item():.4f} cyc={loss_cyc.item():.4f} "
+                    f"({time.time() - t0:.0f}s)",
+                    flush=True,
+                )
+            if step >= CYC_STEPS:
+                break
+
+    g_ab.eval()  # InstanceNorm is stat-free; eval() kept for symmetry
+    a_test, _ = _scene_domains("cyclegan64", 1, N_EVAL)
+    at = _norm_nchw(a_test)
+    with torch.no_grad():
+        outs = [
+            g_ab(torch.from_numpy(at[i : i + 64])).numpy()
+            for i in range(0, N_EVAL, 64)
+        ]
+    samples = np.transpose(np.concatenate(outs), (0, 2, 3, 1))
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"cyclegan64_torch_samples{_tag(seed)}.npy")
+    np.save(path, samples)
+    print(f"[torch] wrote {samples.shape} to {path}")
+
+
+def train_tpugan_cyclegan(out_dir: str, seed: int = 0, cpu: bool = False) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from tpugan.data.loader import UnpairedLoader
+    from tpugan.models import cyclegan as recipe
+    from tpugan.models._common import apply_mod
+
+    if cpu:
+        jax.config.update("jax_platforms", "cpu")
+    IMG = _img("cyclegan64")
+    cfg = recipe.Config(
+        img_height=IMG, img_width=IMG, n_residual_blocks=CYC_RES,
+        batch_size=CYC_BATCH, seed=seed, synthetic_data=True,
+    )
+    modules = recipe.build(cfg)
+    state = recipe.create_state(cfg, modules)
+    step_fn = jax.jit(recipe.make_step(cfg, modules), donate_argnums=0)
+
+    a_u8, b_u8 = _scene_domains("cyclegan64", 0, CYC_N_TRAIN)
+    loader = UnpairedLoader(a_u8, b_u8, CYC_BATCH, seed=seed)
+    n, t0 = 0, time.time()
+    for epoch in range(10 ** 9):
+        for batch in loader.epoch(epoch):
+            state, out = step_fn(state, *batch)
+            n += 1
+            if n % 20 == 0:
+                print(
+                    f"[tpugan] step {n}/{CYC_STEPS} "
+                    f"d={float(out['d_loss']):.4f} "
+                    f"adv={float(out['loss_GAN']):.4f} "
+                    f"cyc={float(out['loss_cycle']):.4f} "
+                    f"({time.time() - t0:.0f}s)",
+                    flush=True,
+                )
+            if n >= CYC_STEPS:
+                break
+        if n >= CYC_STEPS:
+            break
+
+    G_AB = modules["G_AB"]
+
+    @jax.jit
+    def gen(params, x):
+        out, _ = apply_mod(G_AB, params, None, x, train=False)
+        return out
+
+    a_test, _ = _scene_domains("cyclegan64", 1, N_EVAL)
+    at = (a_test.astype(np.float32) / 255.0 - 0.5) / 0.5
+    outs = [
+        np.asarray(
+            jax.device_get(gen(state.params["G_AB"], jnp.asarray(at[i : i + 64])))
+        )
+        for i in range(0, N_EVAL, 64)
+    ]
+    samples = np.concatenate(outs)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"cyclegan64_tpugan_samples{_tag(seed)}.npy")
+    np.save(path, samples)
+    print(f"[tpugan] wrote {samples.shape} to {path}")
+
+
+def score_cyclegan(out_dir: str, seed: int = 0) -> None:
+    import jax.numpy as jnp
+
+    from tpugan.metrics.fid import VGGFeatureModel, fid_from_features
+
+    _, b_test = _scene_domains("cyclegan64", 1, N_EVAL)
+    b_real = (b_test.astype(np.float32) / 255.0) * 2.0 - 1.0
+    fm = VGGFeatureModel()
+    real_f = fm([jnp.asarray(b_real[i : i + 256]) for i in range(0, N_EVAL, 256)])
+    result = {
+        "protocol": (
+            f"cyclegan64 {CYC_RES}res b{CYC_BATCH} {CYC_STEPS} steps, "
+            f"{N_EVAL} translated held-out A vs held-out B reals "
+            f"(+ paired L1 to the aligned B target)"
+        ),
+        "seed": seed,
+    }
+    for side in ("torch", "tpugan"):
+        path = os.path.join(out_dir, f"cyclegan64_{side}_samples{_tag(seed)}.npy")
+        if not os.path.exists(path):
+            result[side] = None
+            continue
+        s = np.load(path)
+        f = fm([jnp.asarray(s[i : i + 256]) for i in range(0, N_EVAL, 256)])
+        result[side] = round(fid_from_features(real_f, f), 3)
+        result[side + "_pair_l1"] = round(float(np.abs(s - b_real).mean()), 4)
     if result.get("torch") and result.get("tpugan"):
         result["tpugan_vs_torch_pct"] = round(
             100.0 * (result["tpugan"] - result["torch"]) / result["torch"], 2
@@ -364,12 +703,20 @@ def main() -> None:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    if args.train_torch:
-        train_torch(args.model, args.out_dir, seed=args.seed)
-    if args.train_tpugan:
-        train_tpugan(args.model, args.out_dir, seed=args.seed, cpu=args.cpu)
-    if args.score:
-        score(args.model, args.out_dir, seed=args.seed)
+    if args.model == "cyclegan64":
+        if args.train_torch:
+            train_torch_cyclegan(args.out_dir, seed=args.seed)
+        if args.train_tpugan:
+            train_tpugan_cyclegan(args.out_dir, seed=args.seed, cpu=args.cpu)
+        if args.score:
+            score_cyclegan(args.out_dir, seed=args.seed)
+    else:
+        if args.train_torch:
+            train_torch(args.model, args.out_dir, seed=args.seed)
+        if args.train_tpugan:
+            train_tpugan(args.model, args.out_dir, seed=args.seed, cpu=args.cpu)
+        if args.score:
+            score(args.model, args.out_dir, seed=args.seed)
     if not (args.train_torch or args.train_tpugan or args.score):
         ap.error("pick at least one phase")
 
