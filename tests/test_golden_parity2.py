@@ -10,6 +10,12 @@ and require forward equality. This pins both the architecture translation
 AND the interop pairing (insertion-order walking) for: munit, stargan,
 cogan, began, discogan, dualgan, bicyclegan, acgan/sgan/infogan heads,
 aae, pixelda, ccgan.
+
+Module-wide ``slow``: these transplants build full-size torch AND flax
+modules per test (the heavy torch constructions measurably dominate the
+fast gate — VERDICT.md round-2 weak #4); the full gate runs them, and the
+fast gate keeps architecture coverage via test_golden_parity.py plus the
+per-family step/param suites.
 """
 
 import jax
@@ -27,6 +33,8 @@ from _transplant import (
 )
 from tpugan.io.torch_interop import export_state_dict, import_state_dict
 from tpugan.models._common import apply_mod, init_module
+
+pytestmark = pytest.mark.slow
 
 
 def _rng_img(shape, seed):

@@ -71,6 +71,52 @@ def test_stargan_steps_and_param_parity():
         assert np.isfinite(float(g_out[k])), k
 
 
+def test_stargan_g_step_regenerates_d_step_fake_exactly():
+    """g_step recomputes fake_imgs = G(imgs, sampled_c) instead of
+    receiving d_step's tensor (models/stargan.py make_steps docstring —
+    matching the reference's second generator() call, stargan.py:246).
+    That is exact ONLY while train-mode G output is independent of the IN
+    running buffers d_step advanced (per-instance stats) and G has no
+    dropout/noise; this pins the invariant so a future G edit that breaks
+    it (running-stat normalization in train mode, dropout, stochastic
+    layers) fails loudly instead of silently decoupling the two steps."""
+    from tpugan.models._common import apply_mod
+    from tpugan.train.state import normalize_uint8
+
+    cfg = stargan.Config(
+        batch_size=2, img_height=64, img_width=64, residual_blocks=2,
+        synthetic_data=True,
+    )
+    modules = stargan.build(cfg)
+    state0 = stargan.create_state(cfg, modules)
+    d_step, _ = stargan.make_steps(cfg, modules)
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (2, 64, 64, 3), np.uint8)
+    labels = rng.integers(0, 2, (2, 5)).astype(np.float32)
+    state1, d_out = jax.jit(d_step)(state0, imgs, labels)
+
+    G = modules["generator"]
+    x = normalize_uint8(jnp.asarray(imgs))
+    # d_step's fake: pre-step params + pre-step IN buffers.
+    fake_d, _ = apply_mod(
+        G, state0.params["generator"], state0.model_state["generator"],
+        x, d_out["sampled_c"],
+    )
+    # g_step's regeneration: same (untouched) G params, but the buffers
+    # d_step already advanced — exactly what g_loss_fn computes.
+    assert not jax.tree_util.tree_all(
+        jax.tree_util.tree_map(
+            lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+            state0.model_state["generator"], state1.model_state["generator"],
+        )
+    ), "d_step should advance the IN running buffers"
+    fake_g, _ = apply_mod(
+        G, state1.params["generator"], state1.model_state["generator"],
+        x, d_out["sampled_c"],
+    )
+    np.testing.assert_array_equal(np.asarray(fake_d), np.asarray(fake_g))
+
+
 def test_stargan_param_parity_128():
     # torch at (3,128,128), 6 res blocks, c_dim 5: G 8,430,531; D 44,762,048.
     cfg = stargan.Config()

@@ -189,3 +189,79 @@ def test_tiled_tile_picker():
     assert t * 256 * 4 <= _TILE_TARGET
     # Near-prime HW has no usable divisor.
     assert _tile_hw(4093, 256) in (None,)  # 4093 is prime
+
+
+def test_tiled_precision_under_large_constant_offset():
+    """Variance by plain E[x^2] - mean^2 loses ~|mean|/std digits to
+    cancellation (measured 4e-3 fwd / 1e-2 grad error at mean = 100*std
+    before the shifted-moment fix) — and the dispatcher routes ANY
+    over-envelope fp32 C%128 map here, including post-ReLU / strongly
+    offset activations. The shifted accumulation (_tiled_stats_kernel)
+    must match the centered XLA reference at large offsets too."""
+    from tpugan.ops.pallas_kernels import instance_norm_act_tiled
+
+    base = _x(h=16, w=16, c=128, seed=9) / 2.0  # unit-ish std
+    for off in (10.0, 100.0):
+        x = base + off
+
+        def ref(z):
+            return jnp.sum(jnp.cos(instance_norm_xla(z)))
+
+        def tiled(z):
+            return jnp.sum(
+                jnp.cos(instance_norm_act_tiled(z, 64, 1e-5, 1.0, True))
+            )
+
+        got = instance_norm_act_tiled(x, 64, 1e-5, 1.0, True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(instance_norm_xla(x)),
+            atol=1e-4, err_msg=f"fwd at offset {off}",
+        )
+        # Residual rounding from the (x - mean) subtraction itself, which
+        # the XLA reference shares; pre-fix the grad error here was 1e-2.
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(tiled)(x)), np.asarray(jax.grad(ref)(x)),
+            atol=3e-4, err_msg=f"grad at offset {off}",
+        )
+
+
+def test_dispatchers_route_over_envelope_maps_to_tiled(monkeypatch):
+    """The tiled-routing branches in instance_norm / instance_norm_act are
+    backend-gated, so no CPU test executed the DISPATCH itself before this
+    (kernel tests call instance_norm_act_tiled directly). Interpret-mode
+    check with the gates monkeypatched: an over-envelope fp32 C%128 map
+    must route to the tiled kernel — instance_norm with slope=1.0 — with
+    the picker's tile, and match the XLA reference."""
+    import tpugan.ops.pallas_kernels as pk
+
+    monkeypatch.setenv("TPUGAN_PALLAS", "1")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    calls = []
+    real_tiled = pk.instance_norm_act_tiled
+
+    def spy(x, tile, eps=1e-5, slope=1.0, interpret=False):
+        calls.append((tile, slope))
+        return real_tiled(x, tile, eps, slope, True)  # interpret on CPU
+
+    monkeypatch.setattr(pk, "instance_norm_act_tiled", spy)
+
+    # (1, 64, 64, 256) = 4 MiB/sample -> over the 2 MiB one-pass envelope
+    # (the CycleGAN 256px trunk shape).
+    x = _x(b=1, h=64, w=64, c=256, seed=10)
+    assert not pallas_eligible(x)
+    expect_tile = pk.tiled_tile_for(x)
+    assert expect_tile is not None
+
+    got = pk.instance_norm(x)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(instance_norm_xla(x)), atol=1e-5
+    )
+    got_act = pk.instance_norm_act(x, 0.2)
+    y = instance_norm_xla(x)
+    np.testing.assert_allclose(
+        np.asarray(got_act),
+        np.asarray(jnp.where(y >= 0, y, 0.2 * y)),
+        atol=1e-5,
+    )
+    assert calls == [(expect_tile, 1.0), (expect_tile, 0.2)]

@@ -431,10 +431,12 @@ adain_pallas.defvjp(_adain_fwd, _adain_bwd)
 # (grid revisiting: the (1,1,C) accumulator block stays resident across
 # the inner grid axis), a cheap XLA epilogue turns them into mean/rstd,
 # and pass 2 normalizes (+ activation) tile by tile. The backward uses the
-# same structure for the two instance-norm VJP reductions. Variance comes
-# from E[x^2] - mean^2 in fp32 — for post-conv activations (O(1-10)
-# values, HW <= a few thousand) this matches the centered XLA reference to
-# float rounding (pinned in tests/test_pallas_kernels.py).
+# same structure for the two instance-norm VJP reductions. Variance uses
+# SHIFTED moments (sums of x - K with K = the sample's first row) — the
+# plain E[x^2] - mean^2 form lost ~|mean|/std digits to cancellation
+# (measured 4e-3 fwd / 1e-2 grad error at mean = 100*std); the shifted
+# form matches the centered XLA reference to float rounding at any offset
+# (pinned in tests/test_pallas_kernels.py).
 # ---------------------------------------------------------------------------
 
 _TILE_TARGET = 1024 * 1024  # bytes per (1, T, C) tile buffer
@@ -461,21 +463,31 @@ def _tiled_specs(t, c, interpret):
     return tile, small
 
 
-def _tiled_stats_kernel(x_ref, s_ref, q_ref):
+def _tiled_stats_kernel(x_ref, s_ref, q_ref, k_ref):
+    """Shifted accumulation: sums of (x - K) and (x - K)^2 with K = the
+    sample's first row per channel. A plain E[x^2] - mean^2 pass loses
+    ~|mean|/std digits to cancellation (measured 4e-3 fwd error at
+    mean = 100*std — exactly the post-ReLU / offset regime over-envelope
+    maps can hit); shifting by any value near the data makes the epilogue's
+    q/hw - (s/hw)^2 an O(var) - O(var) difference instead of O(mean^2) -
+    O(mean^2). K lives in a small output block that stays resident across
+    the inner grid axis (same revisiting contract as the accumulators)."""
     j = pl.program_id(1)
     x = x_ref[0]  # (T, C)
-    s = jnp.sum(x, axis=0, keepdims=True)
-    q = jnp.sum(x * x, axis=0, keepdims=True)
 
     @pl.when(j == 0)
     def _init():
-        s_ref[0] = s
-        q_ref[0] = q
+        k = x[0:1]
+        xs = x - k
+        s_ref[0] = jnp.sum(xs, axis=0, keepdims=True)
+        q_ref[0] = jnp.sum(xs * xs, axis=0, keepdims=True)
+        k_ref[0] = k
 
     @pl.when(j > 0)
     def _accumulate():
-        s_ref[0] += s
-        q_ref[0] += q
+        xs = x - k_ref[0]
+        s_ref[0] += jnp.sum(xs, axis=0, keepdims=True)
+        q_ref[0] += jnp.sum(xs * xs, axis=0, keepdims=True)
 
 
 def _tiled_norm_act_kernel(x_ref, mean_ref, rstd_ref, o_ref, *, slope):
@@ -514,16 +526,20 @@ def _tiled_fwd_call(x3, t, eps, slope, interpret):
     b, hw, c = x3.shape
     n = hw // t
     tile, small = _tiled_specs(t, c, interpret)
-    s, q = pl.pallas_call(
+    s, q, k = pl.pallas_call(
         _tiled_stats_kernel,
         grid=(b, n),
         in_specs=[tile()],
-        out_specs=[small(), small()],
-        out_shape=[jax.ShapeDtypeStruct((b, 1, c), x3.dtype)] * 2,
+        out_specs=[small(), small(), small()],
+        out_shape=[jax.ShapeDtypeStruct((b, 1, c), x3.dtype)] * 3,
         interpret=interpret,
     )(x3)
-    mean = s / hw
-    var = jnp.maximum(q / hw - mean * mean, 0.0)  # guard fp cancellation
+    # Shifted moments (see _tiled_stats_kernel): mean = K + E[x - K],
+    # var = E[(x-K)^2] - E[x-K]^2 — both differences are O(var), so no
+    # catastrophic cancellation; the max(., 0) only guards float rounding.
+    ms = s / hw
+    mean = k + ms
+    var = jnp.maximum(q / hw - ms * ms, 0.0)
     rstd = jax.lax.rsqrt(var + eps)
     y = pl.pallas_call(
         functools.partial(_tiled_norm_act_kernel, slope=slope),
