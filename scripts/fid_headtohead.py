@@ -204,7 +204,9 @@ def train_torch(model: str, out_dir: str, seed: int = 0) -> None:
             self.adv_layer = nn.Sequential(*head)
 
         def forward(self, img):
-            out = self.model(img).view(img.shape[0], -1)
+            # reshape, not view: the CH=3 conv stack yields a non-contiguous
+            # output on CPU (dcgan.py:84 uses view on contiguous CUDA memory).
+            out = self.model(img).reshape(img.shape[0], -1)
             return self.adv_layer(out)
 
     def weights_init_normal(m):  # dcgan.py:36-42

@@ -51,7 +51,13 @@ def create_state_a(cfg, modules, tx_g, tx_d) -> TrainState:
 
 def make_d_step(cfg, modules, tx_d, d_loss_fn: Callable, post_update=None):
     """d_loss_fn(d_apply, real, fake, rng) -> scalar critic loss, where
-    d_apply(x) closes over the current critic params."""
+    d_apply(x) closes over the current critic params. A loss fn that also
+    declares a ``d_params`` keyword receives the raw param tree (the fused
+    closed-form penalty path needs the leaves, not the closure —
+    models/wgan_gp.py:_fused_gp_or_none)."""
+    import inspect
+
+    wants_params = "d_params" in inspect.signature(d_loss_fn).parameters
     G, D = modules["generator"], modules["discriminator"]
 
     def d_step(state: TrainState, imgs_u8, labels):
@@ -72,6 +78,9 @@ def make_d_step(cfg, modules, tx_d, d_loss_fn: Callable, post_update=None):
                 )
                 return out
 
+            if wants_params:
+                return d_loss_fn(d_apply, real, fake, k_pen,
+                                 d_params=d_params)
             return d_loss_fn(d_apply, real, fake, k_pen)
 
         d_loss, d_grads = jax.value_and_grad(loss)(state.params["discriminator"])

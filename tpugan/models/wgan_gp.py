@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 
 from tpugan.models._critic_family import (
@@ -62,9 +63,47 @@ def create_state(cfg: Config, modules=None):
     return create_state_a(cfg, modules or build(cfg), tx_g, tx_d)
 
 
-def d_loss_fn(d_apply, real, fake, rng):
-    gp = wgan_gp_penalty(d_apply, real, fake, rng)
+def d_loss_fn(d_apply, real, fake, rng, d_params=None):
+    """Critic loss (wgan_gp.py:165-171). ``d_params`` (threaded through by
+    make_d_step) enables the opt-in fused closed-form penalty —
+    TPUGAN_PALLAS_GP=1|xla, template-A critic only (ops/pallas_critic.py);
+    numerically equal to the generic grad-of-grad path
+    (tests/test_pallas_critic.py)."""
+    gp = None
+    if d_params is not None:
+        fused = _fused_gp_or_none(d_params, real, fake, rng)
+        if fused is not None:
+            gp = fused
+    if gp is None:
+        gp = wgan_gp_penalty(d_apply, real, fake, rng)
     return -jnp.mean(d_apply(real)) + jnp.mean(d_apply(fake)) + LAMBDA_GP * gp
+
+
+def _fused_gp_or_none(d_params, real, fake, rng):
+    import os
+
+    mode = os.environ.get("TPUGAN_PALLAS_GP", "0")
+    if mode not in ("1", "xla"):
+        return None
+    from tpugan.nn.layers import flatten_nchw
+    from tpugan.ops.pallas_critic import (
+        extract_mlp_critic, mlp_gp_pallas, mlp_gp_xla, pallas_gp_supported,
+    )
+
+    leaves = extract_mlp_critic(d_params)
+    if leaves is None or real.dtype != jnp.float32:
+        return None
+    w1, b1, w2, b2, w3 = leaves
+    alpha = jax.random.uniform(
+        rng, (real.shape[0],) + (1,) * (real.ndim - 1), real.dtype
+    )  # same stream/shape as ops/penalty.py:wgan_gp_penalty
+    x = flatten_nchw(alpha * real + (1.0 - alpha) * fake)
+    if mode == "xla":
+        return mlp_gp_xla(x, w1, b1, w2, b2, w3)
+    if jax.default_backend() != "tpu" or not pallas_gp_supported(
+            x.shape[0], x.shape[1], w2.shape[0], w2.shape[1]):
+        return None
+    return mlp_gp_pallas(x, w1, b1, w2, b2, w3)
 
 
 def make_steps(cfg: Config, modules=None):
