@@ -80,8 +80,8 @@ def main() -> None:
         float(out["d_loss"][-1])
         return time.perf_counter() - t0
 
-    # Shared protocol: warmup + best-of-3 difference method over two run
-    # lengths (tpugan/utils/benchtime.py).
+    # Shared protocol: warmup + min-per-length difference method over two
+    # run lengths (tpugan/utils/benchtime.py).
     ips = measure_images_per_sec(dispatch, K * BATCH, 1, 4)
     print(
         json.dumps(

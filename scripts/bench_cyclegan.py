@@ -73,8 +73,8 @@ def main() -> None:
         state, out = step(state, a, b)
     float(out["d_loss"])
     # Shared protocol (tpugan/utils/benchtime.py): one more warmup burst +
-    # best-of-3 difference method — previously a single pair; aligned with
-    # bench.py 2026-08-17.
+    # min-per-length difference method (stall-robust; see BASELINE.md
+    # timing note), aligned with bench.py.
     ips = measure_images_per_sec(dispatch, BATCH, max(STEPS // 4, 1), STEPS)
     print(
         json.dumps(

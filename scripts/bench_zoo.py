@@ -21,8 +21,8 @@ sub-millisecond steps, so they use the fused K-step dispatch
 (train/loop.py:scan_steps) exactly like bench.py; the SR configs are
 dispatch-bound-free and run one step per dispatch like bench_cyclegan.
 Timing is the shared protocol (tpugan/utils/benchtime.py): warmup
-excluded, best-of-3 difference method over two run lengths with a hard
-scalar sync.
+excluded, min-per-length difference method over two run lengths with a
+hard scalar sync.
 
 torch-CPU anchors: scripts/baseline_torch_zoo.py (same configs, same
 schedules, measured on this host — the reference publishes no numbers).

@@ -12,9 +12,18 @@ protocol fix lands everywhere at once. The rules:
 - Difference method over two run lengths: rate = extra_work / (t2 - t1),
   valid only when the long run took meaningfully longer (t2 - t1 >
   0.2*t2); otherwise a load transition corrupted the pair.
-- Best of 3 pairs (the shared compile/tunnel service adds multi-second
-  variance); if no pair is valid, fall back to the most conservative
-  direct rate n2*work/t2.
+- Each length is timed 3 times and the MINIMUM is differenced. External
+  interference (tunnel latency spikes, host CPU contention stalling the
+  dispatch loop) only ever ADDS wall-clock, so the min per length
+  converges to the true burst time, and differencing the minima removes
+  the remaining fixed per-burst latency. The earlier protocol took the
+  max over per-pair difference rates, which assumed corruption only
+  deflates readings — but a stall inside the SHORT burst inflates the
+  pair's rate (measured: a loaded host produced 27.5 and 47.4 img/s for
+  a CycleGAN step whose device trace pins 62.00 ms = 16.1 img/s; the
+  min-differenced protocol reproduces the trace number).
+- If the pair is invalid (long run not meaningfully longer), fall back
+  to the conservative direct rate n2*work/t2.
 """
 
 from __future__ import annotations
@@ -31,11 +40,8 @@ def measure_images_per_sec(
     """Difference-method throughput. ``dispatch(n)`` runs n hard-synced
     device dispatches and returns the elapsed wall-clock seconds."""
     dispatch(1)  # warmup: compile + one burst
-    candidates, fallback = [], 0.0
-    for _ in range(3):
-        t1 = dispatch(n1)
-        t2 = dispatch(n2)
-        fallback = max(fallback, n2 * images_per_dispatch / t2)
-        if t2 - t1 > 0.2 * t2:
-            candidates.append((n2 - n1) * images_per_dispatch / (t2 - t1))
-    return max(candidates) if candidates else fallback
+    t1 = min(dispatch(n1) for _ in range(3))
+    t2 = min(dispatch(n2) for _ in range(3))
+    if t2 - t1 > 0.2 * t2:
+        return (n2 - n1) * images_per_dispatch / (t2 - t1)
+    return n2 * images_per_dispatch / t2
