@@ -114,8 +114,67 @@ class Linear(nn.Module):
         )(x)
 
 
+class _PackConv(nn.Module):
+    """Stand-in for the wrapper's ``nn.Conv`` child on tiny-channel
+    stride-1 boundary layers, computing through the space-to-depth packed
+    lowering (ops/conv_pack.py — measured 3.9 vs 99 TFLOPS for the direct
+    lowering of these convs on the 256px CycleGAN step). Param tree is
+    IDENTICAL to ``nn.Conv`` (same scope name, param names, shapes,
+    fp32 param dtype), so checkpoints/transplants/DP sharding never see
+    which compute path ran — and the param structure stays independent of
+    input size (the project invariant) because creation precedes routing.
+    """
+
+    features: int
+    kernel_size: int
+    padding: int
+    use_bias: bool
+    kernel_init: Any
+    bias_init: Any
+    dtype: Optional[Dtype]
+
+    @nn.compact
+    def __call__(self, x):
+        from flax.linen.dtypes import promote_dtype
+
+        from tpugan.ops.conv_pack import conv_small_channel
+
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", self.kernel_init, (k, k, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", self.bias_init, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        x, kernel, bias = promote_dtype(x, kernel, bias, dtype=self.dtype)
+        return conv_small_channel(x, kernel, bias, padding=self.padding)
+
+
+def _pack3_enabled() -> bool:
+    import os
+
+    return os.environ.get("TPUGAN_PACK3", "1") == "1"
+
+
+# Routing floor for the packed path: below this spatial extent the s2d
+# reshuffle overhead outweighs the lane win (and the affected reference
+# configs are all >=128px). Module-level so tests can lower it to exercise
+# the in-model routing at CPU-friendly sizes.
+_PACK3_MIN_PIXELS = 128 * 128
+
+
 class Conv(nn.Module):
-    """torch.nn.Conv2d(in, out, k, stride, padding) parity on NHWC."""
+    """torch.nn.Conv2d(in, out, k, stride, padding) parity on NHWC.
+
+    Large-spatial stride-1 convs with <=4 channels on either side (the
+    c7s1-64/c7s1-3 image-boundary layers of every im2im generator,
+    cyclegan/models.py:40-56; the srgan c9s1 stem, srgan/models.py:38)
+    route to the space-to-depth packed lowering — see ops/conv_pack.py
+    for the measured rationale. TPUGAN_PACK3=0 restores the direct path
+    everywhere; both paths share one param tree."""
 
     features: int
     kernel_size: int
@@ -129,6 +188,24 @@ class Conv(nn.Module):
     def __call__(self, x):
         k = self.kernel_size
         fan_in = x.shape[-1] * k * k
+        if (
+            self.stride == 1
+            and k >= 5
+            and min(x.shape[-1], self.features) <= 4
+            and x.ndim == 4
+            and x.shape[1] * x.shape[2] >= _PACK3_MIN_PIXELS
+            and _pack3_enabled()
+        ):
+            return _PackConv(
+                features=self.features,
+                kernel_size=k,
+                padding=self.padding,
+                use_bias=self.use_bias,
+                kernel_init=_weight_init(self.init_mode, fan_in),
+                bias_init=_bias_init(self.init_mode, fan_in),
+                dtype=_compute_dtype(self.dtype),
+                name="Conv_0",
+            )(x)
         return nn.Conv(
             self.features,
             kernel_size=(k, k),
