@@ -607,8 +607,17 @@ def train_tpugan_cyclegan(out_dir: str, seed: int = 0, cpu: bool = False) -> Non
         batch_size=CYC_BATCH, seed=seed, synthetic_data=True,
     )
     modules = recipe.build(cfg)
-    state = recipe.create_state(cfg, modules)
-    step_fn = jax.jit(recipe.make_step(cfg, modules), donate_argnums=0)
+    # steps_per_epoch must describe the loader actually driven below: the
+    # default (1) makes the LambdaLR schedule read each STEP as an epoch,
+    # so lr crossed ZERO at step (n_epochs - decay_epoch) + decay_epoch
+    # = 200 and went negative — measured deterministic blow-up at step
+    # ~220 on every seed before this fix (train/optim.py now also floors
+    # the schedule at 0).
+    bpe = CYC_N_TRAIN // CYC_BATCH
+    state = recipe.create_state(cfg, modules, steps_per_epoch=bpe)
+    step_fn = jax.jit(
+        recipe.make_step(cfg, modules, steps_per_epoch=bpe), donate_argnums=0
+    )
 
     a_u8, b_u8 = _scene_domains("cyclegan64", 0, CYC_N_TRAIN)
     loader = UnpairedLoader(a_u8, b_u8, CYC_BATCH, seed=seed)

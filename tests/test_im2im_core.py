@@ -85,6 +85,22 @@ def test_cyclegan_lr_decays_after_decay_epoch():
     assert abs(float(sched(19)) - 0.1 * (1 - 4 / 5)) < 1e-6  # epoch 9
 
 
+def test_lr_schedule_floors_at_zero_past_the_decay_window():
+    """The reference lambda (cyclegan/utils.py:36-44) goes NEGATIVE past
+    n_epochs; a negative lr is gradient ASCENT and detonates the run
+    (measured: a harness that left steps_per_epoch at its default 1
+    crossed lr=0 at step 200 and blew up at step ~220 on every seed).
+    No reference run trains past n_epochs, so flooring at 0 is exact
+    LambdaLR parity on every reachable step and a guard past the end."""
+    from tpugan.train.optim import linear_decay_schedule
+
+    sched = linear_decay_schedule(0.1, n_epochs=10, decay_start_epoch=5,
+                                  steps_per_epoch=2)
+    assert abs(float(sched(20)) - 0.0) < 1e-12  # epoch 10: factor exactly 0
+    for step in (21, 22, 40, 10_000):  # beyond the window: floored, never < 0
+        assert float(sched(step)) == 0.0
+
+
 @pytest.mark.slow
 def test_pix2pix_step_runs_finite_256():
     cfg = pix2pix.Config(batch_size=1, synthetic_data=True)

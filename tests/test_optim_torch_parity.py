@@ -139,8 +139,13 @@ def test_linear_decay_adam_matches_torch_lambdalr():
 def test_linear_decay_offset_resume_epoch():
     # --epoch resume: LambdaLR(n_epochs, offset=opt.epoch, decay_epoch)
     # (cyclegan.py:94-102). offset shifts the factor so a resumed run at
-    # epoch 3 of 6 decays as if steps had already happened.
-    n_epochs, decay_start, steps_per_epoch, offset = 6, 2, 2, 3
+    # epoch 3 of 9 decays as if steps had already happened. The 12-step
+    # trajectory consumes factors at epoch+offset = 3..8 — exactly the
+    # reference-reachable domain (`for epoch in range(opt.epoch,
+    # opt.n_epochs)` never evaluates a factor at >= n_epochs, where torch's
+    # lambda goes negative and ours floors at 0 by design — that
+    # divergence is pinned in test_im2im_core.py).
+    n_epochs, decay_start, steps_per_epoch, offset = 9, 2, 2, 3
     params, grads = _problem(4)
 
     def factor(epoch):

@@ -66,14 +66,24 @@ def linear_decay_schedule(
     offset: int = 0,
 ) -> Callable[[jax.Array], jax.Array]:
     """LambdaLR(step -> lr) evaluated per optimizer step but changing only at
-    epoch boundaries, matching scheduler.step() per epoch."""
+    epoch boundaries, matching scheduler.step() per epoch.
+
+    Floors at lr=0 once the decay window is exhausted. The reference's
+    lambda (cyclegan/utils.py:36-44) goes NEGATIVE past epoch ``n_epochs``
+    — a negative lr turns every update into gradient ASCENT and the run
+    explodes deterministically (measured: a miswired steps_per_epoch=1
+    crossed zero at step 200 and sent the cyclegan64 FID leg to d_loss
+    ~8e4 at the same step on every seed). No reference run ever trains
+    past n_epochs, so the floor is exactly LambdaLR on every step the
+    reference can take; past the end it is a safety divergence-by-design
+    (pinned in tests/test_im2im_core.py)."""
 
     def schedule(step):
         epoch = step // steps_per_epoch
         frac = jnp.maximum(0, epoch + offset - decay_start_epoch) / (
             n_epochs - decay_start_epoch
         )
-        return base_lr * (1.0 - frac)
+        return base_lr * jnp.maximum(0.0, 1.0 - frac)
 
     return schedule
 
