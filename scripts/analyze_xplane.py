@@ -70,11 +70,20 @@ def main() -> None:
     dev = dev[0]
     ops_tid = [t for (p, t), n in tids.items() if p == dev and n == "XLA Ops"]
     steps_tid = [t for (p, t), n in tids.items() if p == dev and n == "Steps"]
-    ops_tid, steps_tid = ops_tid[0], steps_tid[0] if steps_tid else None
+    if not ops_tid:
+        raise SystemExit(
+            f"no 'XLA Ops' thread on the TPU plane in {path} "
+            f"(threads: {sorted(n for (p, _), n in tids.items() if p == dev)})"
+        )
+    ops_tid = ops_tid[0]
+    steps_tid = steps_tid[0] if steps_tid else None
 
     steps = [
         e for e in ev if e.get("ph") == "X" and e["pid"] == dev and e["tid"] == steps_tid
     ]
+    if steps_tid is None or not steps:
+        print("NOTE: no 'Steps' line in this trace — totals below are "
+              "per-TRACE, not per-step (step time/gaps unavailable).")
     n_steps = max(len(steps), 1)
     step_ms = sum(e.get("dur", 0) for e in steps) / n_steps / 1e3
 
@@ -95,9 +104,13 @@ def main() -> None:
         n_ops += 1
 
     print(f"trace: {path}")
-    print(f"steps: {n_steps}  step time: {step_ms:.2f} ms  ops/step: {n_ops // n_steps}")
-    print(f"device busy (ops line): {total / n_steps / 1e3:.2f} ms/step "
-          f"(gaps: {step_ms - total / n_steps / 1e3:.2f} ms)")
+    if steps:
+        print(f"steps: {n_steps}  step time: {step_ms:.2f} ms  "
+              f"ops/step: {n_ops // n_steps}")
+        print(f"device busy (ops line): {total / n_steps / 1e3:.2f} ms/step "
+              f"(gaps: {step_ms - total / n_steps / 1e3:.2f} ms)")
+    else:
+        print(f"ops (whole trace): {n_ops}  device busy: {total / 1e3:.2f} ms")
     print("\nby category (ms/step):")
     for cat, dur in by_cat.most_common():
         print(f"  {cat:28s} {dur / n_steps / 1e3:8.2f}  ({dur / total * 100:5.1f}%)")

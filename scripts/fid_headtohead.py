@@ -346,20 +346,35 @@ def train_tpugan(model: str, out_dir: str, seed: int = 0, cpu: bool = False) -> 
     print(f"[tpugan] wrote {samples.shape} to {path}")
 
 
-def score(model: str, out_dir: str, seed: int = 0) -> None:
+def _feature_model(backbone: str):
+    """Backbone-sensitivity switch for the score phases: 'vgg' is the
+    default He-random VGG19 extractor every recorded table used; 'inception'
+    is the in-tree flax InceptionV3 (tpugan/metrics/inception.py, He-random
+    without data/inception_v3.npz) — an architecturally independent second
+    opinion on the same stored sample sets."""
+    from tpugan.metrics.fid import InceptionFeatureModel, VGGFeatureModel
+
+    if backbone == "inception":
+        return InceptionFeatureModel()
+    return VGGFeatureModel()
+
+
+def score(model: str, out_dir: str, seed: int = 0,
+          backbone: str = "vgg") -> None:
     import jax.numpy as jnp
 
     from tpugan.data.sources import synthetic_image_dataset
-    from tpugan.metrics.fid import VGGFeatureModel, fid_from_features
+    from tpugan.metrics.fid import fid_from_features
 
     IMG = _img(model)
     reals = synthetic_image_dataset(N_EVAL, IMG, CH_BY_MODEL[model], seed=1)
     real_x = (reals.images.astype(np.float32) / 255.0) * 2.0 - 1.0
 
-    fm = VGGFeatureModel()
+    fm = _feature_model(backbone)
     real_f = fm([jnp.asarray(real_x[i : i + 256]) for i in range(0, N_EVAL, 256)])
     result = {"protocol": f"{model} {IMG}px b{BATCH} {STEPS} steps, "
                           f"{N_EVAL} samples vs held-out reals",
+              "backbone": backbone,
               "seed": seed}
     for side in ("torch", "tpugan"):
         path = os.path.join(out_dir, f"{model}_{side}_samples{_tag(seed)}.npy")
@@ -662,14 +677,14 @@ def train_tpugan_cyclegan(out_dir: str, seed: int = 0, cpu: bool = False) -> Non
     print(f"[tpugan] wrote {samples.shape} to {path}")
 
 
-def score_cyclegan(out_dir: str, seed: int = 0) -> None:
+def score_cyclegan(out_dir: str, seed: int = 0, backbone: str = "vgg") -> None:
     import jax.numpy as jnp
 
-    from tpugan.metrics.fid import VGGFeatureModel, fid_from_features
+    from tpugan.metrics.fid import fid_from_features
 
     _, b_test = _scene_domains("cyclegan64", 1, N_EVAL)
     b_real = (b_test.astype(np.float32) / 255.0) * 2.0 - 1.0
-    fm = VGGFeatureModel()
+    fm = _feature_model(backbone)
     real_f = fm([jnp.asarray(b_real[i : i + 256]) for i in range(0, N_EVAL, 256)])
     result = {
         "protocol": (
@@ -677,6 +692,7 @@ def score_cyclegan(out_dir: str, seed: int = 0) -> None:
             f"{N_EVAL} translated held-out A vs held-out B reals "
             f"(+ paired L1 to the aligned B target)"
         ),
+        "backbone": backbone,
         "seed": seed,
     }
     for side in ("torch", "tpugan"):
@@ -707,6 +723,9 @@ def main() -> None:
     ap.add_argument("--cpu", action="store_true",
                     help="run the tpugan/score phases on CPU "
                          "(numerics-identical fp32)")
+    ap.add_argument("--backbone", default="vgg", choices=("vgg", "inception"),
+                    help="score-phase feature extractor (backbone-"
+                         "sensitivity check; both He-random without npz)")
     args = ap.parse_args()
     if args.cpu:
         # Must land before any backend init; the sitecustomize pins
@@ -720,14 +739,16 @@ def main() -> None:
         if args.train_tpugan:
             train_tpugan_cyclegan(args.out_dir, seed=args.seed, cpu=args.cpu)
         if args.score:
-            score_cyclegan(args.out_dir, seed=args.seed)
+            score_cyclegan(args.out_dir, seed=args.seed,
+                           backbone=args.backbone)
     else:
         if args.train_torch:
             train_torch(args.model, args.out_dir, seed=args.seed)
         if args.train_tpugan:
             train_tpugan(args.model, args.out_dir, seed=args.seed, cpu=args.cpu)
         if args.score:
-            score(args.model, args.out_dir, seed=args.seed)
+            score(args.model, args.out_dir, seed=args.seed,
+                  backbone=args.backbone)
     if not (args.train_torch or args.train_tpugan or args.score):
         ap.error("pick at least one phase")
 

@@ -64,11 +64,15 @@ def test_forward_and_grad_parity_across_paths(low_floor, monkeypatch):
         )
 
 
-def test_production_floor_keeps_small_maps_on_direct_path():
-    # At CPU-test sizes the gate must NOT fire (floor untouched here):
-    # init must produce the plain nn.Conv tree and apply must not import
-    # the packed op. Structural identity with the packed tree is asserted
-    # above, so checking it just runs is enough.
+def test_production_floor_keeps_small_maps_on_direct_path(monkeypatch):
+    # At CPU-test sizes the gate must NOT fire (floor untouched here).
+    # Assert the gate directly: make the packed op explode if reached.
+    import tpugan.ops.conv_pack as conv_pack
+
+    def _boom(*a, **k):  # pragma: no cover - reaching this IS the failure
+        raise AssertionError("packed conv fired below the production floor")
+
+    monkeypatch.setattr(conv_pack, "conv_small_channel", _boom)
     g, x = _build(img=32)
     v = g.init(jax.random.PRNGKey(0), x, train=True)
     y = g.apply(v, x, train=True)
