@@ -132,6 +132,8 @@ class _PackConv(nn.Module):
     kernel_init: Any
     bias_init: Any
     dtype: Optional[Dtype]
+    stride: int = 1
+    r: int = 8
 
     @nn.compact
     def __call__(self, x):
@@ -150,7 +152,9 @@ class _PackConv(nn.Module):
             else None
         )
         x, kernel, bias = promote_dtype(x, kernel, bias, dtype=self.dtype)
-        return conv_small_channel(x, kernel, bias, padding=self.padding)
+        return conv_small_channel(
+            x, kernel, bias, padding=self.padding, r=self.r, stride=self.stride
+        )
 
 
 def _pack3_enabled() -> bool:
@@ -159,22 +163,33 @@ def _pack3_enabled() -> bool:
     return os.environ.get("TPUGAN_PACK3", "1") == "1"
 
 
-# Routing floor for the packed path: below this spatial extent the s2d
-# reshuffle overhead outweighs the lane win (and the affected reference
-# configs are all >=128px). Module-level so tests can lower it to exercise
-# the in-model routing at CPU-friendly sizes.
+# Routing floors for the packed path: below these spatial extents the s2d
+# reshuffle overhead outweighs the lane win. Module-level so tests can
+# lower them to exercise the in-model routing at CPU-friendly sizes.
+# Pack factors per arm are measured (scripts/bench_pack_floor.py,
+# 2026-08-19 on-chip): r=8 for >=128x128 stride-1 (step-proven on the
+# 256px CycleGAN A/B), r=4 for the 64px-class stride-1 stem (3.2x over
+# direct; r=4 beat r=8 109.5 -> 96.2 us) and for the stride-2 k=4
+# boundary entries (pix2pix_d 325 -> 159 us, r=4 decisively over r=8).
 _PACK3_MIN_PIXELS = 128 * 128
+_PACK3_MIN_PIXELS_SMALL = 64 * 64   # stride-1 arm, routed with r=4
+_PACK3_STRIDED_MIN_PIXELS = 128 * 128  # stride-2 arm (measured at 256px)
 
 
 class Conv(nn.Module):
     """torch.nn.Conv2d(in, out, k, stride, padding) parity on NHWC.
 
-    Large-spatial stride-1 convs with <=4 channels on either side (the
-    c7s1-64/c7s1-3 image-boundary layers of every im2im generator,
-    cyclegan/models.py:40-56; the srgan c9s1 stem, srgan/models.py:38)
-    route to the space-to-depth packed lowering — see ops/conv_pack.py
-    for the measured rationale. TPUGAN_PACK3=0 restores the direct path
-    everywhere; both paths share one param tree."""
+    Large-spatial tiny-channel boundary convs route to the space-to-depth
+    packed lowering — see ops/conv_pack.py for the measured rationale,
+    scripts/bench_pack_floor.py for the per-arm floor/pack-factor A/Bs.
+    Three measured arms: stride-1 k>=5 <=4ch >=128x128 (the im2im
+    c7s1-64/c7s1-3 boundaries, cyclegan/models.py:40-56, r=8,
+    step-proven +29%); stride-1 k>=5 <=4ch 64x64-class (the SRGAN c9s1-64
+    stem at LR 64px, srgan/models.py:38, r=4, 3.2x in isolation); and
+    stride-2 k>=4 <=8ch >=128x128 (the pix2pix-family PatchGAN/UNet
+    entry convs, pix2pix/models.py:16-27,114, r=4, 2x in isolation).
+    TPUGAN_PACK3=0 restores the direct path everywhere; all paths share
+    one param tree."""
 
     features: int
     kernel_size: int
@@ -184,18 +199,32 @@ class Conv(nn.Module):
     init_mode: str = "torch"
     dtype: Optional[Dtype] = None
 
+    def _pack_factor(self, x) -> int:
+        """0 = direct lowering; otherwise the measured pack factor r."""
+        if x.ndim != 4 or not _pack3_enabled():
+            return 0
+        k, pixels = self.kernel_size, x.shape[1] * x.shape[2]
+        small_ch = min(x.shape[-1], self.features)
+        if self.stride == 1 and k >= 5 and small_ch <= 4:
+            if pixels >= _PACK3_MIN_PIXELS:
+                return 8
+            if pixels >= _PACK3_MIN_PIXELS_SMALL:
+                return 4
+        if (
+            self.stride == 2
+            and k >= 4
+            and small_ch <= 8
+            and pixels >= _PACK3_STRIDED_MIN_PIXELS
+        ):
+            return 4
+        return 0
+
     @nn.compact
     def __call__(self, x):
         k = self.kernel_size
         fan_in = x.shape[-1] * k * k
-        if (
-            self.stride == 1
-            and k >= 5
-            and min(x.shape[-1], self.features) <= 4
-            and x.ndim == 4
-            and x.shape[1] * x.shape[2] >= _PACK3_MIN_PIXELS
-            and _pack3_enabled()
-        ):
+        r = self._pack_factor(x)
+        if r:
             return _PackConv(
                 features=self.features,
                 kernel_size=k,
@@ -204,6 +233,8 @@ class Conv(nn.Module):
                 kernel_init=_weight_init(self.init_mode, fan_in),
                 bias_init=_bias_init(self.init_mode, fan_in),
                 dtype=_compute_dtype(self.dtype),
+                stride=self.stride,
+                r=r,
                 name="Conv_0",
             )(x)
         return nn.Conv(

@@ -26,7 +26,9 @@ einsums so autodiff flows back to W. The packed conv's FLOPs are
 ~40x better lane utilisation; dgrad and wgrad inherit packed shapes
 automatically (4096<->192 channel contractions instead of 3).
 
-Everything here is stride-1; routing (which layers use it) lives in
+Strides are supported when they divide the pack factor (each r-pixel
+input block then generates r/s output positions — the one-hot relation
+becomes kh = r*a + q - s*p); routing (which layers use it) lives in
 nn/layers.py:Conv. Numerics are NOT bitwise-identical to the direct
 lowering (different accumulation grouping; fp32 deltas ~1e-6 relative,
 pinned in tests/test_conv_pack.py) — TPUGAN_PACK3=0 restores the direct
@@ -44,26 +46,29 @@ import numpy as np
 
 
 @lru_cache(maxsize=None)
-def _pack_onehot(k: int, r: int) -> np.ndarray:
-    """M[kh, a, q, p] = 1 iff r*a + q - p == kh, for kh in [0, k).
+def _pack_onehot(k: int, r: int, s: int = 1) -> np.ndarray:
+    """M[kh, a, q, p] = 1 iff r*a + q - s*p == kh, for kh in [0, k).
 
-    One axis of the packed-kernel construction: output phase p of an
-    output block matches input slot q of relative input block a through
-    logical kernel tap kh.
+    One axis of the packed-kernel construction: output phase p (of the
+    r//s output positions a block of r input pixels generates under
+    logical stride s) matches input slot q of relative input block a
+    through logical kernel tap kh. s=1 recovers the stride-1 packing.
     """
-    K = 1 + math.ceil((k - 1) / r)
-    m = np.zeros((k, K, r, r), np.float32)
+    K = packed_kernel_size(k, r, s)
+    m = np.zeros((k, K, r, r // s), np.float32)
     for a in range(K):
         for q in range(r):
-            for p in range(r):
-                kh = r * a + q - p
+            for p in range(r // s):
+                kh = r * a + q - s * p
                 if 0 <= kh < k:
                     m[kh, a, q, p] = 1.0
     return m
 
 
-def packed_kernel_size(k: int, r: int) -> int:
-    return 1 + math.ceil((k - 1) / r)
+def packed_kernel_size(k: int, r: int, s: int = 1) -> int:
+    # Largest relative input block touched: kh <= k-1 with q = 0 and the
+    # deepest output phase p = r//s - 1 (offset s*p = r - s).
+    return 1 + (k - 1 + r - s) // r
 
 
 def _space_to_depth(x, r: int):
@@ -80,39 +85,52 @@ def _depth_to_space(y, r: int, cout: int):
     return y.reshape(b, hb * r, wb * r, cout)
 
 
-def conv_small_channel(x, kernel, bias=None, padding: int = 0, r: int = 8):
-    """Stride-1 conv2d (NHWC x HWIO, symmetric zero ``padding``) computed
-    via space-to-depth packing. Exact linear re-expression of
+def conv_small_channel(x, kernel, bias=None, padding: int = 0, r: int = 8,
+                       stride: int = 1):
+    """conv2d (NHWC x HWIO, symmetric zero ``padding``, logical ``stride``
+    dividing the pack factor ``r``) computed via space-to-depth packing.
+    Exact linear re-expression of
 
-        lax.conv_general_dilated(x, kernel, (1, 1), [(p, p), (p, p)])
+        lax.conv_general_dilated(x, kernel, (stride, stride),
+                                 [(p, p), (p, p)])
 
     for any kernel size/channel counts; profitable when min(Cin, Cout) is
-    far below the 128-lane width and the spatial extent is large.
-    """
+    far below the 128-lane width and the spatial extent is large. Under
+    stride s each r-pixel input block generates r//s output positions, so
+    the packed conv emits (r//s)^2 * Cout channels per block and the
+    result is depth-to-space'd by r//s (the stride-2 k=4 boundary convs
+    of the pix2pix/discogan/dualgan U-Nets and PatchGANs,
+    pix2pix/models.py:109-133, are the motivating shapes)."""
     kh, kw, cin, cout = kernel.shape
     assert kh == kw, "square kernels only (the zoo uses none other)"
+    assert r % stride == 0, "pack factor must be a multiple of the stride"
     k = kh
+    ro = r // stride  # output block extent (output positions per block)
     b, h, w, _ = x.shape
     if padding:
         x = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
         h, w = h + 2 * padding, w + 2 * padding
-    h_out, w_out = h - k + 1, w - k + 1
-    K = packed_kernel_size(k, r)
+    h_out, w_out = (h - k) // stride + 1, (w - k) // stride + 1
+    K = packed_kernel_size(k, r, stride)
     # Output rounded up to whole blocks; input must cover n_ob + K - 1 blocks.
-    n_obh, n_obw = -(-h_out // r), -(-w_out // r)
-    need_h, need_w = r * (n_obh + K - 1), r * (n_obw + K - 1)
+    n_obh, n_obw = -(-h_out // ro), -(-w_out // ro)
+    # Whole-block coverage, never shrinking: a stride-s tail can leave the
+    # (padded) input longer than the K-block window needs; extra blocks
+    # just produce extra output blocks that the final slice drops.
+    need_h = r * max(n_obh + K - 1, -(-h // r))
+    need_w = r * max(n_obw + K - 1, -(-w // r))
     x = jnp.pad(x, ((0, 0), (0, need_h - h), (0, need_w - w), (0, 0)))
 
-    m = jnp.asarray(_pack_onehot(k, r), kernel.dtype)
+    m = jnp.asarray(_pack_onehot(k, r, stride), kernel.dtype)
     # PK[a,b,q,s,i,p,t,o] = sum_{kh,kw} M[kh,a,q,p] M[kw,b,s,t] W[kh,kw,i,o]
     pk = jnp.einsum("haqp,wbst,hwio->abqsipto", m, m, kernel)
-    pk = pk.reshape(K, K, r * r * cin, r * r * cout)
+    pk = pk.reshape(K, K, r * r * cin, ro * ro * cout)
 
     xp = _space_to_depth(x, r)
     yp = jax.lax.conv_general_dilated(
         xp, pk, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
     )
-    y = _depth_to_space(yp, r, cout)[:, :h_out, :w_out, :]
+    y = _depth_to_space(yp, ro, cout)[:, :h_out, :w_out, :]
     if bias is not None:
         y = y + bias.reshape(1, 1, 1, cout)
     return y

@@ -140,11 +140,30 @@ instance_norm_pallas.defvjp(_in_pallas_fwd, _in_pallas_bwd)
 def instance_norm_xla(x, eps: float = 1e-5):
     """XLA reference (torch.nn.InstanceNorm2d semantics, affine=False).
     Statistics in float32 regardless of compute dtype (mixed-precision
-    safety); output restored to the input dtype."""
+    safety).
+
+    fp32 inputs: the original two-pass mean/var composition (bit-identical
+    to every recorded parity/golden number). Sub-fp32 compute dtypes
+    (bf16 mixed precision): the 2026-08-19 device trace of the 256px
+    CycleGAN step showed XLA materializing a full f32 copy of every IN
+    input (x32 had three consumers: both reductions and the normalize) —
+    ~2.5 ms/step of f32 copies plus f32-wide elementwise fusions across
+    the 36 trunk IN sites. The bf16 branch therefore computes f32
+    statistics via two single-pass fused reductions (convert fuses into
+    each reduce; no f32 feature map is ever materialized) and normalizes
+    in the compute dtype. E[x^2]-E[x]^2 cancellation in f32 is harmless
+    at bf16 input precision, and the per-(B,C) stats are rounded to bf16
+    exactly once."""
+    if x.dtype == jnp.float32:
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        var = jnp.var(x, axis=(1, 2), keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + eps)
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
-    var = jnp.var(x32, axis=(1, 2), keepdims=True)
-    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    msq = jnp.mean(jnp.square(x32), axis=(1, 2), keepdims=True)
+    var = jnp.maximum(msq - jnp.square(mean), 0.0)
+    scale = jax.lax.rsqrt(var + eps)
+    return (x - mean.astype(x.dtype)) * scale.astype(x.dtype)
 
 
 def pallas_eligible(x) -> bool:
