@@ -46,6 +46,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("trace_dir")
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument(
+        "--match",
+        default=None,
+        help="also report the aggregate cost of ops whose xprof metadata "
+        "(tf_op/long_name, i.e. jax.named_scope path) contains this "
+        "substring — e.g. --match pixel_shuffle",
+    )
     args = ap.parse_args()
 
     paths = glob.glob(
@@ -92,6 +99,9 @@ def main() -> None:
     by_cat = collections.Counter()
     total = 0.0
     n_ops = 0
+    match_dur = 0.0
+    match_n = 0
+    match_names = collections.Counter()
     for e in ev:
         if e.get("ph") != "X" or e["pid"] != dev or e["tid"] != ops_tid:
             continue
@@ -102,6 +112,15 @@ def main() -> None:
         by_cat[categorize(name)] += dur
         total += dur
         n_ops += 1
+        if args.match:
+            a = e.get("args", {})
+            meta = " ".join(
+                str(a.get(k, "")) for k in ("tf_op", "long_name", "name")
+            ) + " " + name
+            if args.match in meta:
+                match_dur += dur
+                match_n += 1
+                match_names[name] += dur
 
     print(f"trace: {path}")
     if steps:
@@ -119,6 +138,14 @@ def main() -> None:
         print(
             f"  {dur / n_steps / 1e3:7.3f}  x{n_by_name[name] // n_steps:<4d} {name[:90]}"
         )
+    if args.match:
+        print(
+            f"\nops matching '{args.match}': {match_n // n_steps}/step, "
+            f"{match_dur / n_steps / 1e3:.3f} ms/step "
+            f"({match_dur / total * 100:.2f}% of device busy)"
+        )
+        for name, dur in match_names.most_common(10):
+            print(f"  {dur / n_steps / 1e3:7.3f}  {name[:90]}")
 
 
 if __name__ == "__main__":

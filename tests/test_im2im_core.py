@@ -258,10 +258,15 @@ def test_residual_remat_mode_is_bit_exact(monkeypatch):
         return params, v, g
 
     p0, v0, g0 = build("off")
-    p1, v1, g1 = build("names")
-    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
-    for a, b in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1)):
-        assert jnp.array_equal(a, b)
-    assert float(v0) == float(v1)
-    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
-        assert jnp.array_equal(a, b)
+    for mode in ("trunk", "names"):
+        p1, v1, g1 = build(mode)
+        assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1)
+        ):
+            assert jnp.array_equal(a, b)
+        assert float(v0) == float(v1)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)
+        ):
+            assert jnp.array_equal(a, b)

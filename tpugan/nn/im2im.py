@@ -126,28 +126,32 @@ class GeneratorUNet(nn.Module):
         return jnp.tanh(y)
 
 
-def _residual_remat() -> bool:
-    """Selective rematerialization of the residual trunk (DEFAULT ON;
-    ``TPUGAN_REMAT=off`` disables): only conv boundaries (tagged
-    ``cg_conv_in`` / ``cg_conv_out``) are stashed for backward; pads,
-    instance-norm stats and activations are recomputed from them. Unlike
-    full nn.remat — measured SLOWER at 256px/batch-1 (BASELINE.md:
-    recompute of the convs costs more than the stash bandwidth saved) —
-    this policy never redoes a conv: wgrads read the saved inputs, the
-    elementwise tail re-derives from the saved outputs. Measured +10% on
-    the CycleGAN 256px step (same-session A/B both orders, BASELINE.md);
-    bit-exact vs the off path (tests/test_im2im_core.py)."""
+def _residual_remat() -> str:
+    """Selective rematerialization policy (DEFAULT ``trunk``): only conv
+    boundaries (tagged ``cg_conv_in`` / ``cg_conv_out``) are stashed for
+    backward; pads, instance-norm stats and activations are recomputed
+    from them. Unlike full nn.remat — measured SLOWER at 256px/batch-1
+    (BASELINE.md: recompute of the convs costs more than the stash
+    bandwidth saved) — this policy never redoes a conv: wgrads read the
+    saved inputs, the elementwise tail re-derives from the saved outputs.
+    Modes: ``trunk`` (residual blocks only — the default: measured +10%
+    on the CycleGAN 256px step, same-session A/B both orders,
+    BASELINE.md), ``names`` (trunk + generator head/tail — measured
+    NEUTRAL-TO-NEGATIVE, 22.7 vs 22.93 img/s bf16, kept as the A/B arm;
+    see BASELINE.md's rejected-optimizations record), ``off``. All modes
+    bit-exact (tests/test_im2im_core.py)."""
     import os
 
-    mode = os.environ.get("TPUGAN_REMAT", "names")
-    if mode not in ("names", "off"):
+    mode = os.environ.get("TPUGAN_REMAT", "trunk")
+    if mode not in ("names", "trunk", "off"):
         # Silently ignoring e.g. TPUGAN_REMAT=1 (the TPUGAN_PALLAS=1
         # spelling) would run the slower path while the user believes
         # remat is forced on — poisoning A/B measurements.
         raise ValueError(
-            f"TPUGAN_REMAT={mode!r}: expected 'names' (default) or 'off'"
+            f"TPUGAN_REMAT={mode!r}: expected 'trunk' (default), 'names', "
+            "or 'off'"
         )
-    return mode == "names"
+    return mode
 
 
 class ResidualBlockIN(nn.Module):
@@ -181,48 +185,95 @@ class GeneratorResNet(nn.Module):
     """cyclegan/models.py:40-87: c7s1-64, 2x stride-2 down, N residual,
     2x (Upsample + conv) up, c7s1-C, all InstanceNorm/ReLU, reflection pads
     of size ``channels`` at both ends (the reference passes the channel
-    count as the pad — a quirk kept verbatim)."""
+    count as the pad — a quirk kept verbatim).
+
+    Under ``TPUGAN_REMAT=names`` the head and tail chains additionally run
+    inside their own save-only-conv-boundaries regions (same policy as the
+    residual trunk). Motivation: the post-IN-stats device trace of the
+    43.6 ms bf16 256px step attributed ~2 ms of "data formatting" to
+    activation-mask (select_n pred) and layout copies stashed around
+    exactly these non-trunk convs. Measured result: NO win — 22.7 vs
+    22.93 img/s bf16 (same-session A/B, both orders; the recompute +
+    re-stash layout copies give back what the smaller stash saves), so
+    the default stays ``trunk`` and ``names`` is kept as the documented
+    A/B arm (BASELINE.md rejected-optimizations record)."""
 
     channels: int
     num_residual_blocks: int
     init_mode: str = "normal02zero"
 
-    @nn.compact
-    def __call__(self, x, train: bool = True):
-        del train
+    def _head(self, x):
+        """reflection_pad -> c7s1-64 -> IN+ReLU -> 2x (stride-2 conv ->
+        IN+ReLU). Conv boundaries tagged for save_only_these_names."""
+        from jax.ad_checkpoint import checkpoint_name
+
         from tpugan.ops.pallas_kernels import instance_norm_act
 
         im = self.init_mode
-        c = self.channels
-        y = reflection_pad(x, c)
+        y = reflection_pad(x, self.channels)
+        y = checkpoint_name(y, "cg_conv_in")
         y = Conv(64, 7, 1, 0, init_mode=im)(y)
+        y = checkpoint_name(y, "cg_conv_out")
         y = instance_norm_act(y, 0.0)  # fused IN+ReLU under TPUGAN_PALLAS=1
         feats = 64
         for _ in range(2):
             feats *= 2
+            y = checkpoint_name(y, "cg_conv_in")
             y = Conv(feats, 3, 2, 1, init_mode=im)(y)
+            y = checkpoint_name(y, "cg_conv_out")
             y = instance_norm_act(y, 0.0)
+        return y
+
+    def _tail(self, y):
+        """2x (Upsample -> conv -> IN+ReLU) -> reflection_pad -> c7s1-C ->
+        tanh. Conv boundaries tagged for save_only_these_names."""
+        from jax.ad_checkpoint import checkpoint_name
+
+        from tpugan.ops.pallas_kernels import instance_norm_act
+
+        im = self.init_mode
+        feats = 256
+        for _ in range(2):
+            feats //= 2
+            y = Upsample(2)(y)
+            y = checkpoint_name(y, "cg_conv_in")
+            y = Conv(feats, 3, 1, 1, init_mode=im)(y)
+            y = checkpoint_name(y, "cg_conv_out")
+            y = instance_norm_act(y, 0.0)
+        y = reflection_pad(y, self.channels)
+        y = checkpoint_name(y, "cg_conv_in")
+        y = Conv(self.channels, 7, 1, 0, init_mode=im)(y)
+        y = checkpoint_name(y, "cg_conv_out")
+        return jnp.tanh(y)
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        del train
+        head, tail = GeneratorResNet._head, GeneratorResNet._tail
         block_cls = ResidualBlockIN
-        if _residual_remat():
-            block_cls = nn.remat(
-                ResidualBlockIN,
-                policy=jax.checkpoint_policies.save_only_these_names(
-                    "cg_conv_in", "cg_conv_out"
-                ),
+        mode = _residual_remat()
+        if mode != "off":
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "cg_conv_in", "cg_conv_out"
             )
+            block_cls = nn.remat(ResidualBlockIN, policy=policy)
+        if mode == "names":
+            # Lifted-function remat keeps the compact scope (and so the
+            # Conv_*/Upsample_* auto-names and the param tree) identical
+            # to the plain method call — pinned by
+            # tests/test_im2im_core.py:test_residual_remat_mode_is_bit_exact.
+            head = nn.remat(head, policy=policy)
+            tail = nn.remat(tail, policy=policy)
+        y = head(self, x)
+        feats = 256
         for i in range(self.num_residual_blocks):
             # Explicit name: the nn.remat wrapper would otherwise rename
             # the scope (Checkpoint... prefix) and break checkpoint/interop
             # path compatibility between the two modes.
-            y = block_cls(feats, init_mode=im, name=f"ResidualBlockIN_{i}")(y)
-        for _ in range(2):
-            feats //= 2
-            y = Upsample(2)(y)
-            y = Conv(feats, 3, 1, 1, init_mode=im)(y)
-            y = instance_norm_act(y, 0.0)
-        y = reflection_pad(y, c)
-        y = Conv(c, 7, 1, 0, init_mode=im)(y)
-        return jnp.tanh(y)
+            y = block_cls(
+                feats, init_mode=self.init_mode, name=f"ResidualBlockIN_{i}"
+            )(y)
+        return tail(self, y)
 
 
 class PatchGAN(nn.Module):

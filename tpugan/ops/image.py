@@ -25,10 +25,14 @@ def pixel_shuffle(x: jax.Array, upscale_factor: int) -> jax.Array:
     b, h, w, c = x.shape
     r = upscale_factor
     c_out = c // (r * r)
-    # torch PixelShuffle views channels as (C_out, r, r)
-    x = x.reshape(b, h, w, c_out, r, r)
-    x = x.transpose(0, 1, 4, 2, 5, 3)  # b, h, r(dy), w, r(dx), c_out
-    return x.reshape(b, h * r, w * r, c_out)
+    # named_scope -> HLO op_name metadata -> xprof 'tf_op', so device traces
+    # can attribute what pixel-shuffle actually costs (BASELINE.json
+    # north-star clause; scripts/profile_sr.py).
+    with jax.named_scope("pixel_shuffle"):
+        # torch PixelShuffle views channels as (C_out, r, r)
+        x = x.reshape(b, h, w, c_out, r, r)
+        x = x.transpose(0, 1, 4, 2, 5, 3)  # b, h, r(dy), w, r(dx), c_out
+        return x.reshape(b, h * r, w * r, c_out)
 
 
 def upsample_nearest(x: jax.Array, scale: int = 2) -> jax.Array:
