@@ -59,6 +59,53 @@ def test_cyclegan_step_bf16_finite(bf16):
     assert np.isfinite(float(out["g_loss"]))
 
 
+def test_batchnorm_bf16_path_matches_f32():
+    """The sub-fp32 BatchNorm branch (fused f32 stats, folded bf16
+    normalize — nn/layers.py) must agree with the flax-helper fp32 path to
+    bf16 tolerance, keep f32 running stats, and keep the param tree
+    invariant across compute dtypes."""
+    from tpugan.nn.layers import BatchNorm
+
+    rng = np.random.default_rng(0)
+    x = (rng.normal(size=(4, 8, 8, 32)) * 2.0 + 0.5).astype(np.float32)
+    bn = BatchNorm(eps=1e-5, momentum=0.1)
+    v = bn.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    vb = bn.init(jax.random.PRNGKey(0), jnp.asarray(x, jnp.bfloat16))
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(vb)
+    # Non-trivial affine params, shared by both arms.
+    v = jax.tree_util.tree_map(lambda p: p, v)
+    scale = jnp.asarray(rng.normal(1.0, 0.2, (32,)), jnp.float32)
+    bias = jnp.asarray(rng.normal(0.0, 0.3, (32,)), jnp.float32)
+    v = {
+        "params": {"scale": scale, "bias": bias},
+        "batch_stats": v["batch_stats"],
+    }
+
+    y32, m32 = bn.apply(v, jnp.asarray(x), True, mutable=["batch_stats"])
+    yb, mb = bn.apply(
+        v, jnp.asarray(x, jnp.bfloat16), True, mutable=["batch_stats"]
+    )
+    assert yb.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(yb, np.float32), np.asarray(y32), atol=5e-2, rtol=5e-2
+    )
+    # Running stats: f32 on both paths, equal to f32-stat tolerance.
+    for a, b in zip(
+        jax.tree_util.tree_leaves(m32), jax.tree_util.tree_leaves(mb)
+    ):
+        assert a.dtype == jnp.float32 and b.dtype == jnp.float32
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-2
+        )
+    # Eval mode (running-stat normalize) agrees too.
+    e32 = bn.apply(v, jnp.asarray(x), False)
+    eb = bn.apply(v, jnp.asarray(x, jnp.bfloat16), False)
+    assert eb.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(eb, np.float32), np.asarray(e32), atol=5e-2, rtol=5e-2
+    )
+
+
 def test_dtype_flag_resolves():
     from tpugan.nn.layers import resolve_dtype
 

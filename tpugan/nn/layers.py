@@ -157,6 +157,71 @@ class _PackConv(nn.Module):
         )
 
 
+class _SplitConv(nn.Module):
+    """Channel-split lowering for convs whose input is a CONCATENATION:
+    ``conv(concat(t_0..t_n), W) == sum_j conv(t_j, W[:, :, off_j:, :])``
+    (exact linearity in the input channels). Used for the esrgan
+    DenseResidualBlock (esrgan/models.py:18-45), whose five dense concats
+    per block cost 11.3 ms/step of `concatenate` plus 6.0 ms of `add_any`
+    duals in the 96.5 ms bf16 256px step (2026-08-19 device trace) — this
+    lowering never materializes the concat buffers. Param tree is
+    IDENTICAL to ``nn.Conv`` (same scope name via name="Conv_0", param
+    names, shapes, fp32 param dtype), so checkpoints/transplants/DP
+    sharding never see which path ran. Accumulation grouping differs from
+    the one-big-conv form (partials sum in the compute dtype), so parity
+    is ~1e-6 relative in fp32, NOT bitwise (tests/test_dense_split.py)."""
+
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int
+    use_bias: bool
+    kernel_init: Any
+    bias_init: Any
+    dtype: Optional[Dtype]
+
+    @nn.compact
+    def __call__(self, parts):
+        from flax.linen.dtypes import promote_dtype
+
+        k = self.kernel_size
+        cin = sum(p.shape[-1] for p in parts)
+        kernel = self.param(
+            "kernel", self.kernel_init, (k, k, cin, self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", self.bias_init, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        promoted = promote_dtype(*parts, kernel, bias, dtype=self.dtype)
+        parts, kernel, bias = promoted[:-2], promoted[-2], promoted[-1]
+        out = None
+        off = 0
+        for p in parts:
+            c = p.shape[-1]
+            w = jax.lax.slice_in_dim(kernel, off, off + c, axis=2)
+            off += c
+            y = jax.lax.conv_general_dilated(
+                p,
+                w,
+                window_strides=(self.stride, self.stride),
+                padding=[(self.padding, self.padding)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            out = y if out is None else out + y
+        if bias is not None:
+            out = out + bias
+        return out
+
+
+def _dense_split_enabled() -> bool:
+    import os
+
+    return os.environ.get("TPUGAN_DENSE_SPLIT", "0") == "1"
+
+
 def _pack3_enabled() -> bool:
     import os
 
@@ -222,6 +287,28 @@ class Conv(nn.Module):
     @nn.compact
     def __call__(self, x):
         k = self.kernel_size
+        if isinstance(x, (tuple, list)):
+            # Caller-declared channel concatenation (dense blocks). Either
+            # lower through _SplitConv (never materializes the concat) or
+            # fall back to an explicit concatenate + the normal routing —
+            # one param tree either way.
+            if len(x) == 1:
+                x = x[0]
+            elif _dense_split_enabled():
+                fan_in = sum(p.shape[-1] for p in x) * k * k
+                return _SplitConv(
+                    features=self.features,
+                    kernel_size=k,
+                    stride=self.stride,
+                    padding=self.padding,
+                    use_bias=self.use_bias,
+                    kernel_init=_weight_init(self.init_mode, fan_in),
+                    bias_init=_bias_init(self.init_mode, fan_in),
+                    dtype=_compute_dtype(self.dtype),
+                    name="Conv_0",
+                )(tuple(x))
+            else:
+                x = jnp.concatenate(x, axis=-1)
         fan_in = x.shape[-1] * k * k
         r = self._pack_factor(x)
         if r:
@@ -363,9 +450,33 @@ class BatchNorm(nn.Module):
         ra_var = self.variable(
             "batch_stats", "var", lambda: jnp.ones((feat,), jnp.float32)
         )
+        import os
+
         axes = tuple(range(x.ndim - 1))
+        # TPUGAN_BN16=0 restores the flax-helper lowering for sub-fp32
+        # inputs (the A/B arm; fp32 inputs always take the flax path).
+        sub_fp32 = (
+            jnp.dtype(x.dtype).itemsize < 4
+            and os.environ.get("TPUGAN_BN16", "1") == "1"
+        )
         if train:
-            mean, var = fnorm._compute_stats(x, axes, self.dtype)
+            if sub_fp32:
+                # bf16 mixed precision: the 2026-08-19 esrgan device trace
+                # showed the flax helpers promoting every BN input to f32
+                # (materialized f32 maps + an f32 output that converts back
+                # before the next conv) — the same pattern the IN fix
+                # removed (ops/pallas_kernels.py:instance_norm_xla). f32
+                # statistics via two single-pass fused reductions (the
+                # convert fuses INTO each reduce; no f32 map exists);
+                # E[x^2]-E[x]^2 cancellation in f32 is harmless at bf16
+                # input precision.
+                mean = jnp.mean(x.astype(jnp.float32), axis=axes)
+                msq = jnp.mean(
+                    jnp.square(x.astype(jnp.float32)), axis=axes
+                )
+                var = jnp.maximum(msq - jnp.square(mean), 0.0)
+            else:
+                mean, var = fnorm._compute_stats(x, axes, self.dtype)
             if not self.is_initializing():
                 n = 1
                 for a in axes:
@@ -376,6 +487,21 @@ class BatchNorm(nn.Module):
                 ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
         else:
             mean, var = ra_mean.value, ra_var.value
+        if sub_fp32:
+            # Folded normalize in the compute dtype: y = x*a + b with
+            # per-channel f32 vectors a = scale*rsqrt(var+eps),
+            # b = bias - mean*a, each rounded to the compute dtype exactly
+            # once — a conv scale+shift epilogue XLA fuses. Param
+            # names/shapes/dtypes identical to the _normalize-created ones
+            # (param-tree invariance across compute dtypes is pinned in
+            # tests/test_layers_torch_parity.py).
+            scale = self.param("scale", scale_init, (feat,), jnp.float32)
+            bias = self.param(
+                "bias", nn.initializers.zeros, (feat,), jnp.float32
+            )
+            a = scale * jax.lax.rsqrt(var + self.eps)
+            b = bias - mean * a
+            return x * a.astype(x.dtype) + b.astype(x.dtype)
         return fnorm._normalize(
             self, x, mean, var, axes, (-1,), self.dtype, jnp.float32,
             self.eps, True, True, nn.initializers.zeros, scale_init,

@@ -63,13 +63,18 @@ class DenseResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        inputs = x
+        # The list form declares the dense concat to Conv, which lowers it
+        # through the channel-split path when TPUGAN_DENSE_SPLIT=1 (no
+        # concat buffer is ever materialized) and through an ordinary
+        # jnp.concatenate otherwise — identical param tree either way
+        # (nn/layers.py:_SplitConv).
+        parts = [x]
         out = None
         for i in range(5):
-            out = Conv(self.filters, 3, 1, 1, init_mode="torch")(inputs)
+            out = Conv(self.filters, 3, 1, 1, init_mode="torch")(parts)
             if i < 4:
                 out = leaky_relu(out, 0.01)  # torch nn.LeakyReLU() default
-            inputs = jnp.concatenate([inputs, out], axis=-1)
+            parts = parts + [out]
         return out * self.res_scale + x
 
 
