@@ -16,8 +16,9 @@ identical to K single dispatches (tests/test_scan_dispatch.py). For this
 adds 2-10x noise (BASELINE.md variance note).
 
 Measures the production TPU config: bfloat16 mixed precision (fp32 params/
-norm stats, bf16 conv/dense compute — the CLI's --dtype bfloat16), +21%
-over fp32 with equivalent sample quality (FID A/B in BASELINE.md).
+norm stats, bf16 conv/dense compute — the CLI's --dtype bfloat16, incl.
+the folded bf16 BatchNorm path), +33% over fp32 with equivalent sample
+quality (FID A/Bs in BASELINE.md).
 Set TPUGAN_BENCH_DTYPE=float32 for the exact-parity measurement.
 """
 

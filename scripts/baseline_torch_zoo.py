@@ -283,16 +283,59 @@ def run_sr(model):
     time_steps(step, 1, 2, B, f"{model} 256px b4")
 
 
+def run_pix2pix():
+    """U-Net G + conditional PatchGAN D, 256px, batch 1 (the reference's
+    own defaults, pix2pix.py:24-41). Imports the reference models.py
+    directly (read-only) so the anchor is the reference's exact module
+    graph; step schedule = pix2pix.py:119-186 (G: MSE adv + 100*L1 pixel;
+    D: 0.5*(real+fake) MSE on the 16x16 patch map)."""
+    import sys
+
+    path = "/root/reference/implementations/pix2pix"
+    sys.path.insert(0, path)
+    import models as rm
+
+    sys.path.remove(path)
+    del sys.modules["models"]
+    torch.manual_seed(0)
+    B, IMG = 1, 256
+    g = rm.GeneratorUNet()
+    d = rm.Discriminator()
+    g.apply(rm.weights_init_normal)
+    d.apply(rm.weights_init_normal)
+    og = torch.optim.Adam(g.parameters(), lr=2e-4, betas=(0.5, 0.999))
+    od = torch.optim.Adam(d.parameters(), lr=2e-4, betas=(0.5, 0.999))
+    mse, l1 = nn.MSELoss(), nn.L1Loss()
+    real_a = torch.randn(B, 3, IMG, IMG)
+    real_b = torch.randn(B, 3, IMG, IMG)
+    valid = torch.ones(B, 1, IMG // 16, IMG // 16)
+    zeros = torch.zeros(B, 1, IMG // 16, IMG // 16)
+
+    def step():
+        og.zero_grad()
+        fake_b = g(real_a)
+        (mse(d(fake_b, real_a), valid) + 100 * l1(fake_b, real_b)).backward()
+        og.step()
+        od.zero_grad()
+        (0.5 * (mse(d(real_b, real_a), valid)
+                + mse(d(fake_b.detach(), real_a), zeros))).backward()
+        od.step()
+
+    time_steps(step, 2, 6, B, "pix2pix 256px b1")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", required=True,
-                    choices=["gan", "wgan_gp", "srgan", "esrgan"])
+                    choices=["gan", "wgan_gp", "srgan", "esrgan", "pix2pix"])
     args = ap.parse_args()
     torch.set_num_threads(1)  # the host exposes one core; avoid oversubscription
     if args.model == "gan":
         run_gan()
     elif args.model == "wgan_gp":
         run_wgan_gp()
+    elif args.model == "pix2pix":
+        run_pix2pix()
     else:
         run_sr(args.model)
 

@@ -159,10 +159,43 @@ def _bench_sr(model: str, n_steps: int) -> tuple[float, str]:
     )
 
 
+def bench_pix2pix() -> tuple[float, str]:
+    """U-Net G + conditional PatchGAN D at the reference's own defaults
+    (pix2pix.py:24-41: 256px, batch 1). Step-level confirmation target for
+    the stride-2 packed-conv routing arm (nn/layers.py:Conv._pack_factor),
+    whose pix2pix-family evidence was previously microbench-only
+    (scripts/bench_pack_floor.py)."""
+    from tpugan.models import pix2pix
+
+    B, IMG = 1, 256
+    cfg = pix2pix.Config(batch_size=B, synthetic_data=True)
+    modules = pix2pix.build(cfg)
+    state = pix2pix.create_state(cfg, modules)
+    step = jax.jit(pix2pix.make_step(cfg, modules), donate_argnums=0)
+    rng = np.random.default_rng(0)
+    a_u8 = jax.device_put(rng.integers(0, 255, (B, IMG, IMG, 3), dtype=np.uint8))
+    b_u8 = jax.device_put(rng.integers(0, 255, (B, IMG, IMG, 3), dtype=np.uint8))
+
+    def dispatch(n):
+        nonlocal state
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, out = step(state, a_u8, b_u8)
+        _sync(out, "d_loss")
+        return time.perf_counter() - t0
+
+    return (
+        measure_images_per_sec(dispatch, B, 16, 64),
+        "pix2pix_train_images_per_sec_256px",
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--model", required=True, choices=["gan", "wgan_gp", "srgan", "esrgan"]
+        "--model",
+        required=True,
+        choices=["gan", "wgan_gp", "srgan", "esrgan", "pix2pix"],
     )
     args = ap.parse_args()
     # TPUGAN_BENCH_DTYPE=bfloat16 measures the mixed-precision production
@@ -183,6 +216,8 @@ def main() -> None:
         ips, metric = bench_gan()
     elif args.model == "wgan_gp":
         ips, metric = bench_wgan_gp()
+    elif args.model == "pix2pix":
+        ips, metric = bench_pix2pix()
     elif args.model == "srgan":
         ips, metric = _bench_sr("srgan", 16)
     else:
