@@ -172,3 +172,19 @@ def test_loader_propagates_producer_exceptions():
         for batch in loader.epoch(0):
             seen += 1
     assert seen == 2
+
+
+def test_readme_test_count_matches_collection():
+    """The README's typed test count drifted in rounds 2-4; it is now
+    generated (scripts/update_test_count.py) and this guard fails the gate
+    whenever a test addition forgets to regenerate it."""
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    proc = subprocess.run(
+        [sys.executable, str(repo / "scripts" / "update_test_count.py"), "--check"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
