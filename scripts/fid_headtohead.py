@@ -71,11 +71,15 @@ def _tag(seed):
 # dcgan.py at the CIFAR shape (32px, --channels 3); cyclegan64 is the
 # reduced im2im config (see module docstring).
 IMG_BY_MODEL = {"dcgan": 32, "gan": 28, "lsgan": 32, "dcgan_cifar": 32,
-                "cyclegan64": 64}
+                "cyclegan64": 64, "srgan64": 64}
 CH_BY_MODEL = {"dcgan": 1, "gan": 1, "lsgan": 1, "dcgan_cifar": 3,
-               "cyclegan64": 3}
+               "cyclegan64": 3, "srgan64": 3}
 # cyclegan64 protocol constants (reduced template-C scale).
 CYC_STEPS, CYC_BATCH, CYC_RES, CYC_N_TRAIN = 400, 4, 3, 1024
+# srgan64 protocol constants (reduced SR scale: HR 64px -> LR 16px, 4
+# residual blocks instead of srgan/models.py:34's 16; same 400-step /
+# batch-4 budget as the cyclegan64 leg).
+SR_STEPS, SR_BATCH, SR_RES, SR_HR, SR_N_TRAIN = 400, 4, 4, 64, 1024
 
 
 def _img(model):
@@ -711,6 +715,361 @@ def score_cyclegan(out_dir: str, seed: int = 0, backbone: str = "vgg") -> None:
     print(json.dumps(result))
 
 
+# --------------------------------------------------------------------------
+# srgan64: the SR acceptance-table row (BASELINE.md "PSNR/visual parity"),
+# reference srgan semantics (srgan/srgan.py:97-145: G step on content +
+# 1e-3 adv MSE, then D on real + detached SR, Adam(2e-4, 0.5, 0.999),
+# torch-default init — srgan has no weights_init_normal) at a torch-CPU-
+# feasible scale. Both sides consume BYTE-IDENTICAL host-precomputed uint8
+# LR/HR pairs (PIL-convention bicubic 64->16, tpugan.native.resize_bicubic)
+# and the SAME He-random VGG19[:18] content weights (numpy-generated,
+# platform-independent — the reference's ImageNet weights are unavailable
+# here, BASELINE.md standing caveat). Scored on held-out pairs with PSNR
+# (backbone-free, the acceptance row's own metric) + FID of SR outputs vs
+# held-out HR reals.
+# --------------------------------------------------------------------------
+
+
+def _sr_pairs(data_seed: int, n: int):
+    """(lr_u8, hr_u8): HR = domain-B photo scenes (speckle + sharp rect
+    edges — non-trivial 4x SR content), LR = PIL-bit-exact bicubic 16px."""
+    from tpugan.data.im2im import synthetic_scene_pairs
+    from tpugan.native import resize_bicubic
+
+    _, hr = synthetic_scene_pairs(n, SR_HR, SR_HR, seed=data_seed)
+    lr = resize_bicubic(hr, SR_HR // 4, SR_HR // 4)
+    return lr, hr
+
+
+_SR_MEAN = np.array([0.485, 0.456, 0.406], np.float32)  # srgan/datasets.py:12
+_SR_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def _sr_norm(u8):
+    """uint8 NHWC -> ImageNet-normalized float32 NHWC (identical arithmetic
+    on both sides so the framework inputs are bit-equal)."""
+    return ((u8.astype(np.float32) / 255.0) - _SR_MEAN) / _SR_STD
+
+
+def _sr_vgg_weights():
+    """Deterministic He-normal VGG19[:18] conv weights, generated in numpy
+    so both frameworks load BIT-IDENTICAL content-loss features (flax init
+    is backend-ulp-sensitive; numpy is not). Keys match the
+    load_vgg19_npz convention: conv<torch_idx>_kernel (HWIO) / _bias."""
+    from tpugan.nn.vgg import VGG19_LAYOUT
+
+    rng = np.random.default_rng(0)
+    weights, in_c = {}, 3
+    for idx, spec in VGG19_LAYOUT:
+        if idx >= 18:
+            break
+        if spec == "M":
+            continue
+        fan_in = in_c * 9
+        std = float(np.sqrt(2.0 / fan_in))  # kaiming-normal, relu gain
+        weights[f"conv{idx}_kernel"] = rng.normal(
+            0.0, std, size=(3, 3, in_c, spec)
+        ).astype(np.float32)
+        weights[f"conv{idx}_bias"] = np.zeros((spec,), np.float32)
+        in_c = spec
+    return weights
+
+
+def _build_torch_srgan():
+    """Reference SRGAN module classes (srgan/models.py:18-105) rebuilt in
+    torch at SR_RES blocks: SRResNet G (c9s1-64+PReLU, res blocks
+    conv-BN(eps=0.8)-PReLU-conv-BN(eps=0.8)+skip, conv3-BN(0.8) global
+    skip, 2x [conv3-256, BN, PixelShuffle(2), PReLU], c9s1-3 Tanh) and the
+    8-conv BN discriminator; plus the VGG19[:18] feature stack wired to
+    the shared He-random weights."""
+    import torch
+    import torch.nn as nn
+
+    from tpugan.nn.vgg import VGG19_LAYOUT
+
+    class Res(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.body = nn.Sequential(
+                nn.Conv2d(64, 64, 3, 1, 1), nn.BatchNorm2d(64, 0.8),
+                nn.PReLU(),
+                nn.Conv2d(64, 64, 3, 1, 1), nn.BatchNorm2d(64, 0.8),
+            )
+
+        def forward(self, x):
+            return x + self.body(x)
+
+    class G(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Sequential(nn.Conv2d(3, 64, 9, 1, 4), nn.PReLU())
+            self.res = nn.Sequential(*[Res() for _ in range(SR_RES)])
+            self.conv2 = nn.Sequential(
+                nn.Conv2d(64, 64, 3, 1, 1), nn.BatchNorm2d(64, 0.8)
+            )
+            up = []
+            for _ in range(2):
+                up += [
+                    nn.Conv2d(64, 256, 3, 1, 1), nn.BatchNorm2d(256),
+                    nn.PixelShuffle(2), nn.PReLU(),
+                ]
+            self.up = nn.Sequential(*up)
+            self.conv3 = nn.Sequential(nn.Conv2d(64, 3, 9, 1, 4), nn.Tanh())
+
+        def forward(self, x):
+            o1 = self.conv1(x)
+            o2 = self.conv2(self.res(o1))
+            return self.conv3(self.up(o1 + o2))
+
+    class D(nn.Module):
+        def __init__(self):
+            super().__init__()
+            layers, in_f = [], 3
+            for i, out_f in enumerate([64, 128, 256, 512]):
+                layers.append(nn.Conv2d(in_f, out_f, 3, 1, 1))
+                if i != 0:
+                    layers.append(nn.BatchNorm2d(out_f))
+                layers += [
+                    nn.LeakyReLU(0.2, inplace=True),
+                    nn.Conv2d(out_f, out_f, 3, 2, 1),
+                    nn.BatchNorm2d(out_f),
+                    nn.LeakyReLU(0.2, inplace=True),
+                ]
+                in_f = out_f
+            layers.append(nn.Conv2d(512, 1, 3, 1, 1))
+            self.model = nn.Sequential(*layers)
+
+        def forward(self, x):
+            return self.model(x)
+
+    def vgg18():
+        layers, in_c = [], 3
+        for idx, spec in VGG19_LAYOUT:
+            if idx >= 18:
+                break
+            if spec == "M":
+                layers.append(nn.MaxPool2d(2, 2))
+                continue
+            layers.append(nn.Conv2d(in_c, spec, 3, 1, 1))
+            in_c = spec
+            if idx + 1 < 18:
+                layers.append(nn.ReLU(inplace=True))
+        fe = nn.Sequential(*layers)
+        w = _sr_vgg_weights()
+        ci = 0
+        for idx, spec in VGG19_LAYOUT:
+            if idx >= 18 or spec == "M":
+                continue
+            conv = [m for m in fe if isinstance(m, nn.Conv2d)][ci]
+            conv.weight.data = torch.from_numpy(
+                w[f"conv{idx}_kernel"].transpose(3, 2, 0, 1).copy()
+            )
+            conv.bias.data = torch.from_numpy(w[f"conv{idx}_bias"].copy())
+            ci += 1
+        for p in fe.parameters():
+            p.requires_grad_(False)
+        return fe
+
+    return G, D, vgg18
+
+
+def train_torch_srgan(out_dir: str, seed: int = 0) -> None:
+    import torch
+    import torch.nn as nn
+
+    torch.manual_seed(seed)
+    Gc, Dc, vgg18 = _build_torch_srgan()
+    g, d, fe = Gc(), Dc(), vgg18()
+    fe.eval()  # srgan.py:62
+    crit_gan, crit_content = nn.MSELoss(), nn.L1Loss()
+    opt_g = torch.optim.Adam(g.parameters(), lr=2e-4, betas=(0.5, 0.999))
+    opt_d = torch.optim.Adam(d.parameters(), lr=2e-4, betas=(0.5, 0.999))
+
+    lr_u8, hr_u8 = _sr_pairs(0, SR_N_TRAIN)
+    lrs = np.transpose(_sr_norm(lr_u8), (0, 3, 1, 2))
+    hrs = np.transpose(_sr_norm(hr_u8), (0, 3, 1, 2))
+    order_rng = np.random.default_rng(seed)
+
+    patch = SR_HR // 2 ** 4  # models.py:80
+    valid = torch.ones(SR_BATCH, 1, patch, patch)
+    fake = torch.zeros(SR_BATCH, 1, patch, patch)
+    step, t0 = 0, time.time()
+    while step < SR_STEPS:
+        order = order_rng.permutation(SR_N_TRAIN)
+        for i in range(0, SR_N_TRAIN - SR_BATCH + 1, SR_BATCH):
+            imgs_lr = torch.from_numpy(lrs[order[i : i + SR_BATCH]])
+            imgs_hr = torch.from_numpy(hrs[order[i : i + SR_BATCH]])
+            opt_g.zero_grad()  # srgan.py:112-129
+            gen_hr = g(imgs_lr)
+            loss_gan = crit_gan(d(gen_hr), valid)
+            loss_content = crit_content(fe(gen_hr), fe(imgs_hr).detach())
+            loss_g = loss_content + 1e-3 * loss_gan
+            loss_g.backward()
+            opt_g.step()
+            opt_d.zero_grad()  # srgan.py:135-145
+            loss_d = (
+                crit_gan(d(imgs_hr), valid)
+                + crit_gan(d(gen_hr.detach()), fake)
+            ) / 2
+            loss_d.backward()
+            opt_d.step()
+            step += 1
+            if step % 40 == 0:
+                print(
+                    f"[torch] step {step}/{SR_STEPS} d={loss_d.item():.4f} "
+                    f"g={loss_g.item():.4f} ({time.time() - t0:.0f}s)",
+                    flush=True,
+                )
+            if step >= SR_STEPS:
+                break
+
+    g.eval()  # running-BN-stat sampling, mirrored by tpugan train=False
+    lr_t, _ = _sr_pairs(1, N_EVAL)
+    lt = np.transpose(_sr_norm(lr_t), (0, 3, 1, 2))
+    with torch.no_grad():
+        outs = [
+            g(torch.from_numpy(lt[i : i + 64])).numpy()
+            for i in range(0, N_EVAL, 64)
+        ]
+    sr = np.transpose(np.concatenate(outs), (0, 2, 3, 1))
+    sr01 = np.clip(sr * _SR_STD + _SR_MEAN, 0.0, 1.0)
+    samples = sr01 * 2.0 - 1.0
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"srgan64_torch_samples{_tag(seed)}.npy")
+    np.save(path, samples.astype(np.float32))
+    print(f"[torch] wrote {samples.shape} to {path}")
+
+
+def train_tpugan_srgan(out_dir: str, seed: int = 0, cpu: bool = False) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from tpugan.models import srgan as recipe
+    from tpugan.models._common import apply_mod
+    from tpugan.nn.sr import SRDiscriminator, SRGANGenerator
+    from tpugan.nn.vgg import VGG19Features, load_vgg19_npz
+
+    if cpu:
+        jax.config.update("jax_platforms", "cpu")
+    cfg = recipe.Config(
+        batch_size=SR_BATCH, hr_height=SR_HR, hr_width=SR_HR, seed=seed,
+        synthetic_data=True,
+    )
+    modules = {
+        "generator": SRGANGenerator(channels=3, n_residual_blocks=SR_RES),
+        "discriminator": SRDiscriminator(),
+        "vgg": VGG19Features(cut=18),
+    }
+    state = recipe.create_state(cfg, modules)
+    # Overlay the SHARED numpy-deterministic He VGG weights (same arrays
+    # the torch side loads) over the recipe's own random init.
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".npz") as f:
+        np.savez(f.name, **_sr_vgg_weights())
+        vgg_params = load_vgg19_npz(state.params["vgg"], f.name)
+    state = state.replace(params={**state.params, "vgg": vgg_params})
+    step_fn = jax.jit(recipe.make_step_pairs(cfg, modules), donate_argnums=0)
+
+    lr_u8, hr_u8 = _sr_pairs(0, SR_N_TRAIN)
+    lrs, hrs = _sr_norm(lr_u8), _sr_norm(hr_u8)
+    order_rng = np.random.default_rng(seed)
+    n, t0 = 0, time.time()
+    while n < SR_STEPS:
+        order = order_rng.permutation(SR_N_TRAIN)
+        for i in range(0, SR_N_TRAIN - SR_BATCH + 1, SR_BATCH):
+            state, out = step_fn(
+                state,
+                jnp.asarray(lrs[order[i : i + SR_BATCH]]),
+                jnp.asarray(hrs[order[i : i + SR_BATCH]]),
+            )
+            n += 1
+            if n % 40 == 0:
+                print(
+                    f"[tpugan] step {n}/{SR_STEPS} "
+                    f"d={float(out['d_loss']):.4f} "
+                    f"g={float(out['g_loss']):.4f} ({time.time() - t0:.0f}s)",
+                    flush=True,
+                )
+            if n >= SR_STEPS:
+                break
+
+    G = modules["generator"]
+
+    @jax.jit
+    def gen(params, bs, x):
+        out, _ = apply_mod(G, params, bs, x, train=False)
+        return out
+
+    lr_t, _ = _sr_pairs(1, N_EVAL)
+    lt = _sr_norm(lr_t)
+    outs = [
+        np.asarray(
+            jax.device_get(
+                gen(
+                    state.params["generator"],
+                    state.model_state["generator"],
+                    jnp.asarray(lt[i : i + 64]),
+                )
+            )
+        )
+        for i in range(0, N_EVAL, 64)
+    ]
+    sr = np.concatenate(outs)
+    sr01 = np.clip(sr * _SR_STD + _SR_MEAN, 0.0, 1.0)
+    samples = sr01 * 2.0 - 1.0
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"srgan64_tpugan_samples{_tag(seed)}.npy")
+    np.save(path, samples.astype(np.float32))
+    print(f"[tpugan] wrote {samples.shape} to {path}")
+
+
+def score_srgan(out_dir: str, seed: int = 0, backbone: str = "vgg") -> None:
+    import jax.numpy as jnp
+
+    from tpugan.metrics.fid import fid_from_features
+
+    lr_t, hr_t = _sr_pairs(1, N_EVAL)
+    hr01 = hr_t.astype(np.float32) / 255.0
+    hr_pm1 = hr01 * 2.0 - 1.0
+    fm = _feature_model(backbone)
+    real_f = fm([jnp.asarray(hr_pm1[i : i + 256]) for i in range(0, N_EVAL, 256)])
+    result = {
+        "protocol": (
+            f"srgan64 {SR_RES}res hr{SR_HR} b{SR_BATCH} {SR_STEPS} steps, "
+            f"{N_EVAL} held-out pairs: mean per-image PSNR (denormalized "
+            f"[0,1]) + FID of SR outputs vs held-out HR reals"
+        ),
+        "backbone": backbone,
+        "seed": seed,
+    }
+    for side in ("torch", "tpugan"):
+        path = os.path.join(out_dir, f"srgan64_{side}_samples{_tag(seed)}.npy")
+        if not os.path.exists(path):
+            result[side + "_fid"] = None
+            continue
+        s = np.load(path)
+        s01 = (s + 1.0) / 2.0
+        mse_per_img = ((s01 - hr01) ** 2).reshape(N_EVAL, -1).mean(axis=1)
+        result[side + "_psnr"] = round(
+            float(np.mean(10.0 * np.log10(1.0 / np.maximum(mse_per_img, 1e-10)))),
+            3,
+        )
+        f = fm([jnp.asarray(s[i : i + 256]) for i in range(0, N_EVAL, 256)])
+        result[side + "_fid"] = round(fid_from_features(real_f, f), 3)
+    if result.get("torch_fid") and result.get("tpugan_fid"):
+        result["fid_tpugan_vs_torch_pct"] = round(
+            100.0
+            * (result["tpugan_fid"] - result["torch_fid"])
+            / result["torch_fid"],
+            2,
+        )
+        result["psnr_delta_db"] = round(
+            result["tpugan_psnr"] - result["torch_psnr"], 3
+        )
+    print(json.dumps(result))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="dcgan", choices=sorted(IMG_BY_MODEL))
@@ -741,6 +1100,13 @@ def main() -> None:
         if args.score:
             score_cyclegan(args.out_dir, seed=args.seed,
                            backbone=args.backbone)
+    elif args.model == "srgan64":
+        if args.train_torch:
+            train_torch_srgan(args.out_dir, seed=args.seed)
+        if args.train_tpugan:
+            train_tpugan_srgan(args.out_dir, seed=args.seed, cpu=args.cpu)
+        if args.score:
+            score_srgan(args.out_dir, seed=args.seed, backbone=args.backbone)
     else:
         if args.train_torch:
             train_torch(args.model, args.out_dir, seed=args.seed)

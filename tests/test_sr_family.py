@@ -125,3 +125,20 @@ def test_test_on_image_roundtrip(tmp_path):
     sr = Image.open(out_path)
     # 4x upsample + torchvision save_image's 2px grid border on each side.
     assert sr.size == (68, 68)
+
+
+def test_srgan_step_pairs_matches_fused_step():
+    """make_step == make_step_pairs∘prepare_lr_hr bit-exactly (the pairs
+    variant is the head-to-head harness's entry; both must be the same
+    train semantics, models/srgan.py)."""
+    cfg = srgan.Config(batch_size=2, hr_height=32, hr_width=32,
+                       synthetic_data=True)
+    modules = srgan.build(cfg)
+    state = srgan.create_state(cfg, modules)
+    u8 = np.random.default_rng(0).integers(0, 255, (2, 32, 32, 3),
+                                           dtype=np.uint8)
+    _, out = jax.jit(srgan.make_step(cfg, modules))(state, u8)
+    lr, hr = jax.jit(lambda u: srgan.prepare_lr_hr(u, 32))(jnp.asarray(u8))
+    _, out2 = jax.jit(srgan.make_step_pairs(cfg, modules))(state, lr, hr)
+    assert float(out["d_loss"]) == float(out2["d_loss"])
+    assert float(out["g_loss"]) == float(out2["g_loss"])

@@ -130,12 +130,27 @@ def prepare_lr_hr(imgs_u8, hr_size):
 
 
 def make_step(cfg: Config, modules=None):
+    inner = make_step_pairs(cfg, modules)
+
+    def step(state: TrainState, imgs_u8):
+        imgs_lr, imgs_hr = prepare_lr_hr(imgs_u8, cfg.hr_height)
+        return inner(state, imgs_lr, imgs_hr)
+
+    return step
+
+
+def make_step_pairs(cfg: Config, modules=None):
+    """The same train step over an explicit (LR, HR) ImageNet-normalized
+    pair — the body `make_step` wraps after its on-device dual resize
+    (srgan/datasets.py:27-40). Exposed separately for true LR/HR-pair
+    datasets and for the head-to-head harness, where both frameworks must
+    consume byte-identical host-precomputed pairs
+    (scripts/fid_headtohead.py --model srgan64)."""
     modules = modules or build(cfg)
     G, D, V = modules["generator"], modules["discriminator"], modules["vgg"]
     tx = adam_torch(cfg.lr, cfg.b1, cfg.b2)
 
-    def step(state: TrainState, imgs_u8):
-        imgs_lr, imgs_hr = prepare_lr_hr(imgs_u8, cfg.hr_height)
+    def step(state: TrainState, imgs_lr, imgs_hr):
         rng = jax.random.fold_in(state.rng, 1)
 
         # --- G phase (srgan.py:112-129) ---
