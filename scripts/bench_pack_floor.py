@@ -48,6 +48,14 @@ CASES = {
     # Shipped stride-1 boundaries (r=8 today) — is r=4 better there too?
     "cyclegan_in": (1, 262, 3, 64, 7, 1, 0),   # reflection-padded c7s1-64
     "cyclegan_out": (1, 262, 64, 3, 7, 1, 0),  # c7s1-3 exit
+    # k=3 boundary shapes (r5): the srgan/esrgan discriminator entry conv
+    # AND VGG19 conv1_1 share the first shape (srgan/models.py:74-95,
+    # vgg19 features[0]); the esrgan G tail (esrgan/models.py:84) and its
+    # LR-64px stem are the others. Excluded from routing today by the
+    # k>=5 floor; the r5 srgan trace puts D fwd+bwd at 40% of the step.
+    "sr_d_entry": (4, 256, 3, 64, 3, 1, 1),
+    "esrgan_tail": (4, 256, 64, 3, 3, 1, 1),
+    "esrgan_stem64": (4, 64, 3, 64, 3, 1, 1),
 }
 
 
@@ -101,10 +109,12 @@ def main() -> None:
         if only and case != only:
             continue
         row = {"case": case, "dtype": dtype_s, "unit": "us/fwdbwd"}
-        for variant in ("direct", "pack_r4", "pack_r8"):
+        for variant in ("direct", "pack_r2", "pack_r4", "pack_r8"):
             b, hw, cin, cout, k, s, pad = CASES[case]
-            if variant != "direct" and (8 if variant == "pack_r8" else 4) % s:
+            if variant != "direct" and int(variant.split("_r")[1]) % s:
                 continue
+            if variant == "pack_r2" and k != 3:
+                continue  # r=2 only plausibly competitive at k=3 (1.8x FLOPs)
             dispatch = _variant_fn(case, variant, dtype)
             # calls/sec via the shared protocol, then us per fwd+bwd call
             rate = measure_images_per_sec(dispatch, K_ITERS, N1, N2)
