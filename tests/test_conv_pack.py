@@ -46,6 +46,53 @@ def test_forward_parity(shape, k, cin, cout, padding):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
+@pytest.mark.parametrize(
+    "shape,cin,cout,r",
+    [
+        ((2, 32, 32), 3, 8, 2),   # sr D entry / VGG conv1_1 shape class
+        ((2, 32, 32), 3, 8, 4),
+        ((1, 30, 30), 8, 3, 4),   # esrgan tail (small Cout), ragged blocks
+        ((1, 30, 30), 3, 8, 8),
+    ],
+)
+def test_k3_forward_parity(shape, cin, cout, r):
+    """k=3 packing (kernel smaller than the pack factor — the r5 floor
+    extension for the srgan/esrgan D entry, VGG conv1_1, and esrgan tail
+    convs, srgan/models.py:74-95, esrgan/models.py:84)."""
+    rng = np.random.default_rng(3)
+    b, h, w = shape
+    x = jnp.asarray(rng.normal(0, 1, (b, h, w, cin)), jnp.float32)
+    kern = jnp.asarray(rng.normal(0, 0.2, (3, 3, cin, cout)), jnp.float32)
+    bias = jnp.asarray(rng.normal(0, 0.2, (cout,)), jnp.float32)
+    got = conv_small_channel(x, kern, bias, padding=1, r=r)
+    want = _direct(x, kern, bias, 1)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_k3_gradient_parity():
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(0, 1, (1, 28, 28, 3)), jnp.float32)
+    kern = jnp.asarray(rng.normal(0, 0.2, (3, 3, 3, 8)), jnp.float32)
+    bias = jnp.asarray(rng.normal(0, 0.2, (8,)), jnp.float32)
+    tgt = jnp.asarray(rng.normal(0, 1, (1, 28, 28, 8)), jnp.float32)
+
+    def loss(fn):
+        def f(x, kern, bias):
+            return jnp.mean((fn(x, kern, bias) - tgt) ** 2)
+
+        return jax.grad(f, argnums=(0, 1, 2))
+
+    g_pack = loss(
+        lambda x, k_, b_: conv_small_channel(x, k_, b_, padding=1, r=4)
+    )(x, kern, bias)
+    g_dir = loss(lambda x, k_, b_: _direct(x, k_, b_, 1))(x, kern, bias)
+    for gp, gd, name in zip(g_pack, g_dir, ("x", "kernel", "bias")):
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gd), atol=3e-5, err_msg=name
+        )
+
+
 def test_gradient_parity():
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.normal(0, 1, (1, 30, 30, 3)), jnp.float32)
